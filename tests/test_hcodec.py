@@ -1,0 +1,92 @@
+"""HCodec 1.0 / 2.0 end-to-end shape + consistency tests (features injected;
+the SSL frontend has its own tests)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from unified_audio_tpu.models.hcodec.codec import (
+    HCodec, hcodec10_config, hcodec20_config,
+)
+
+
+def small10():
+    return hcodec10_config(
+        latent_dim=64, seanet_filters=4, codebook_size=32, num_quantizers=2,
+        decoder_dim=64, decoder_intermediate_dim=128, decoder_convnext_layers=2,
+        semantic_encode_channels=64, feat_dim=32,
+    )
+
+
+def small20():
+    return hcodec20_config(
+        latent_dim=64, codebook_size=32, num_quantizers=2,
+        decoder_dim=64, decoder_intermediate_dim=128, decoder_convnext_layers=2,
+        encoder_dim=64, encoder_intermediate_dim=128, encoder_convnext_layers=2,
+        semantic_encode_channels=64, feat_dim=32,
+    )
+
+
+@pytest.fixture(scope="module")
+def rngs():
+    return {"params": jax.random.PRNGKey(0), "quant": jax.random.PRNGKey(1)}
+
+
+class TestHCodec10:
+    def test_roundtrip_consistency(self, rngs, rng):
+        """encode -> decode equals forward's quantized path at inference."""
+        cfg = small10()
+        m = HCodec(cfg)
+        L = 640 * 8
+        wav = jnp.asarray(rng.standard_normal((1, L, 1)).astype(np.float32))
+        feat = jnp.asarray(
+            rng.standard_normal((1, L // 320, cfg.feat_dim)).astype(np.float32)
+        )
+        variables = m.init(rngs, wav, feat, train=False)
+
+        ac, sem = m.apply(variables, wav, feat, method="encode")
+        assert ac.shape == (1, 8, 2) and sem.shape == (1, 8, 2)
+        assert int(ac.max()) < cfg.codebook_size and int(ac.min()) >= 0
+
+        recon = m.apply(variables, ac, sem, method="decode")
+        assert recon.shape == (1, L)
+
+        fwd_recon, pred_feat, commit = m.apply(variables, wav, feat, train=False)
+        assert fwd_recon.shape == (1, L)
+        assert pred_feat.shape == feat.shape
+        np.testing.assert_allclose(
+            np.asarray(fwd_recon), np.asarray(recon), atol=1e-4
+        )
+
+    def test_train_step_updates_codebooks(self, rngs, rng):
+        cfg = small10()
+        m = HCodec(cfg)
+        L = 640 * 8
+        wav = jnp.asarray(rng.standard_normal((1, L, 1)).astype(np.float32))
+        feat = jnp.asarray(
+            rng.standard_normal((1, L // 320, cfg.feat_dim)).astype(np.float32)
+        )
+        variables = m.init(rngs, wav, feat, train=False)
+        (recon, pred, commit), mutated = m.apply(
+            variables, wav, feat, train=True, mutable=["codebook"],
+            rngs={"quant": jax.random.PRNGKey(3)},
+        )
+        assert float(mutated["codebook"]["quantizer"]["layers_0"]["inited"]) == 1.0
+        assert np.isfinite(float(commit))
+
+
+class TestHCodec20:
+    def test_roundtrip_consistency(self, rngs, rng):
+        cfg = small20()
+        m = HCodec(cfg)
+        L = 3840 * 4  # 4 tokens @ 12.5 Hz, 48 kHz
+        wav = jnp.asarray(rng.standard_normal((1, L, 1)).astype(np.float32))
+        # HuBERT runs at 50 Hz on the 16 kHz resample -> L/960 frames
+        feat = jnp.asarray(
+            rng.standard_normal((1, L // 960, cfg.feat_dim)).astype(np.float32)
+        )
+        variables = m.init(rngs, wav, feat, train=False)
+        ac, sem = m.apply(variables, wav, feat, method="encode")
+        assert ac.shape == (1, 4, 2) and sem.shape == (1, 4, 2)
+        recon = m.apply(variables, ac, sem, method="decode")
+        assert recon.shape == (1, L)
