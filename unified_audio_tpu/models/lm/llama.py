@@ -1,0 +1,346 @@
+"""Llama-style AR-LM with static-shape KV cache and in-graph sampling.
+
+TPU-native rebuild of UniSE's CustomLlamaModel (model/llm/llm.py:13-374):
+vocab = 3 specials + 4096 global + 8192 semantic; codec embedding; bias-free
+attention; label-smoothed KL loss; top-k/top-p sampling with the reference's
+"first token above top_p kept" rule (llm.py:253-288).
+
+The reference decodes token-by-token in a Python loop over HF DynamicCache —
+the dominant latency source (SURVEY §3.2). Here the KV cache is a preallocated
+static pytree and the whole decode loop is one ``lax.scan``, so N decode steps
+compile to a single XLA while-program with no host round-trips, and batch B
+segments decode together.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ...nn.transformer import RMSNorm, apply_rope, rope_cos_sin
+
+NEG_INF = -1e9
+
+
+@dataclass(frozen=True)
+class LlamaConfig:
+    global_size: int = 4096
+    semantic_size: int = 8192
+    hidden_size: int = 512
+    num_layers: int = 12
+    num_heads: int = 8
+    max_position_embeddings: int = 4096
+    label_smoothing: float = 0.1
+    rope_theta: float = 10000.0
+    dropout_p: float = 0.0
+
+    @property
+    def vocab_size(self) -> int:
+        return 3 + self.global_size + self.semantic_size
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    # special token layout (llm.py:39-46)
+    @property
+    def global_sos(self) -> int:
+        return 0
+
+    @property
+    def semantic_sos(self) -> int:
+        return 1
+
+    @property
+    def semantic_eos(self) -> int:
+        return 2
+
+    @property
+    def global_offset(self) -> int:
+        return 3
+
+    @property
+    def semantic_offset(self) -> int:
+        return 3 + self.global_size
+
+
+# ---------------------------------------------------------------------------
+# KV cache: static pytree {k/v: (L, B, max_len, H, hd)}, index scalar
+# ---------------------------------------------------------------------------
+
+def init_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.float32):
+    shape = (cfg.num_layers, batch, max_len, cfg.num_heads, cfg.head_dim)
+    return {
+        "k": jnp.zeros(shape, dtype),
+        "v": jnp.zeros(shape, dtype),
+        "index": jnp.zeros((), jnp.int32),
+    }
+
+
+class LlamaAttention(nn.Module):
+    cfg: LlamaConfig
+
+    @nn.compact
+    def __call__(self, x, mask, cos, sin, cache_kv=None, cache_index=None):
+        """x (B, S, D). With cache_kv=(k_buf, v_buf) of (B, max, H, hd), writes
+        new keys at cache_index and attends over the full buffer (masked).
+
+        Returns (out, (new_k_buf, new_v_buf))."""
+        cfg = self.cfg
+        b, s, _ = x.shape
+        h, hd = cfg.num_heads, cfg.head_dim
+        q = nn.Dense(cfg.hidden_size, use_bias=False, name="q_proj")(x)
+        k = nn.Dense(cfg.hidden_size, use_bias=False, name="k_proj")(x)
+        v = nn.Dense(cfg.hidden_size, use_bias=False, name="v_proj")(x)
+        q = q.reshape(b, s, h, hd)
+        k = k.reshape(b, s, h, hd)
+        v = v.reshape(b, s, h, hd)
+        q, k = apply_rope(q, k, cos, sin)
+
+        if cache_kv is not None:
+            k_buf, v_buf = cache_kv
+            k_buf = jax.lax.dynamic_update_slice(
+                k_buf, k.astype(k_buf.dtype), (0, cache_index, 0, 0)
+            )
+            v_buf = jax.lax.dynamic_update_slice(
+                v_buf, v.astype(v_buf.dtype), (0, cache_index, 0, 0)
+            )
+            k, v = k_buf, v_buf
+            new_cache = (k_buf, v_buf)
+        else:
+            new_cache = None
+
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * hd**-0.5
+        if mask is not None:
+            logits = logits + mask
+        probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, s, cfg.hidden_size)
+        return nn.Dense(cfg.hidden_size, use_bias=False, name="o_proj")(out), new_cache
+
+
+class LlamaMLP(nn.Module):
+    cfg: LlamaConfig
+
+    @nn.compact
+    def __call__(self, x):
+        inter = self.cfg.hidden_size * 4
+        gate = nn.Dense(inter, use_bias=False, name="gate_proj")(x)
+        up = nn.Dense(inter, use_bias=False, name="up_proj")(x)
+        return nn.Dense(self.cfg.hidden_size, use_bias=False, name="down_proj")(
+            jax.nn.silu(gate) * up
+        )
+
+
+class LlamaLayer(nn.Module):
+    cfg: LlamaConfig
+
+    @nn.compact
+    def __call__(self, x, mask, cos, sin, cache_kv=None, cache_index=None):
+        h, new_cache = LlamaAttention(self.cfg, name="self_attn")(
+            RMSNorm(self.cfg.hidden_size, name="input_layernorm")(x),
+            mask, cos, sin, cache_kv, cache_index,
+        )
+        x = x + h
+        x = x + LlamaMLP(self.cfg, name="mlp")(
+            RMSNorm(self.cfg.hidden_size, name="post_attention_layernorm")(x)
+        )
+        return x, new_cache
+
+
+class LlamaBackbone(nn.Module):
+    """Decoder stack. Two entry points:
+
+    * ``__call__(embeds)``: full causal forward (training) — one big attention.
+    * ``prefill(embeds, cache)`` / ``decode_step(embeds, cache)``: static-cache
+      incremental decode for lax.scan generation.
+    """
+
+    cfg: LlamaConfig
+
+    def setup(self):
+        self.layers = [
+            LlamaLayer(self.cfg, name=f"layers_{i}")
+            for i in range(self.cfg.num_layers)
+        ]
+        self.norm = RMSNorm(self.cfg.hidden_size, name="norm")
+
+    def __call__(self, embeds):
+        cfg = self.cfg
+        s = embeds.shape[1]
+        cos, sin = rope_cos_sin(jnp.arange(s), cfg.head_dim, cfg.rope_theta)
+        row = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+        mask = jnp.where(col <= row, 0.0, NEG_INF)[None, None]
+        x = embeds
+        for layer in self.layers:
+            x, _ = layer(x, mask, cos, sin)
+        return self.norm(x)
+
+    def _cached_forward(self, embeds, cache):
+        """Shared prefill/decode body: writes S new positions at cache.index."""
+        cfg = self.cfg
+        b, s, _ = embeds.shape
+        max_len = cache["k"].shape[2]
+        idx = cache["index"]
+        positions = idx + jnp.arange(s)
+        cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+        # causal visibility over the static buffer: key j visible to query i iff
+        # j <= idx + i  (past cache entries all visible; future zeros masked)
+        key_pos = jax.lax.broadcasted_iota(jnp.int32, (s, max_len), 1)
+        query_pos = positions[:, None]
+        mask = jnp.where(key_pos <= query_pos, 0.0, NEG_INF)[None, None]
+
+        x = embeds
+        new_k, new_v = [], []
+        for li, layer in enumerate(self.layers):
+            x, (k_buf, v_buf) = layer(
+                x, mask, cos, sin,
+                cache_kv=(cache["k"][li], cache["v"][li]),
+                cache_index=idx,
+            )
+            new_k.append(k_buf)
+            new_v.append(v_buf)
+        new_cache = {
+            "k": jnp.stack(new_k),
+            "v": jnp.stack(new_v),
+            "index": idx + s,
+        }
+        return self.norm(x), new_cache
+
+    def prefill(self, embeds, cache):
+        return self._cached_forward(embeds, cache)
+
+    def decode_step(self, embeds, cache):
+        return self._cached_forward(embeds, cache)
+
+
+# ---------------------------------------------------------------------------
+# Sampling (llm.py:253-288 semantics, in-graph)
+# ---------------------------------------------------------------------------
+
+def sample_logits(
+    key,
+    logits: jnp.ndarray,  # (B, V) — already range-masked
+    temperature: float = 0.8,
+    top_k: int = 50,
+    top_p: float = 0.95,
+    do_sample: bool = True,
+) -> jnp.ndarray:
+    """Top-k then top-p filter then temperature; keeps the first token whose
+    cumulative probability crosses top_p (llm.py:271-273). Returns (B,) int32."""
+    if not do_sample:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    if top_k > 0:
+        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+        logits = jnp.where(logits < kth, NEG_INF, logits)
+
+    if top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        order = jnp.argsort(logits, axis=-1)[..., ::-1]
+        cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
+        remove_sorted = cum > top_p
+        # shift right: keep the first token that crosses top_p
+        remove_sorted = jnp.concatenate(
+            [jnp.zeros_like(remove_sorted[..., :1]), remove_sorted[..., :-1]],
+            axis=-1,
+        )
+        # unsort the removal mask back to vocab order
+        inv = jnp.argsort(order, axis=-1)
+        remove = jnp.take_along_axis(remove_sorted, inv, axis=-1)
+        logits = jnp.where(remove, NEG_INF, logits)
+
+    logits = logits / temperature
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# CustomLlamaModel equivalent
+# ---------------------------------------------------------------------------
+
+class CodecLM(nn.Module):
+    """Embedding + backbone + output head over the 3+global+semantic vocab."""
+
+    cfg: LlamaConfig
+
+    def setup(self):
+        self.codec_embedding = nn.Embed(
+            self.cfg.vocab_size, self.cfg.hidden_size, name="codec_embedding"
+        )
+        self.backbone = LlamaBackbone(self.cfg, name="backbone")
+        self.output_head = nn.Dense(
+            self.cfg.vocab_size, use_bias=False, name="output_head"
+        )
+
+    def loss_function(self, logits, targets):
+        """Label-smoothed KL divergence, batchmean over tokens (llm.py:87-104):
+        true_dist = smoothing/(V-1) everywhere, confidence at the target."""
+        cfg = self.cfg
+        v = logits.shape[-1]
+        logits = logits.reshape(-1, v).astype(jnp.float32)
+        targets = targets.reshape(-1)
+        conf = 1.0 - cfg.label_smoothing
+        fill = cfg.label_smoothing / (v - 1)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        onehot = jax.nn.one_hot(targets, v, dtype=jnp.float32)
+        true_dist = fill * (1.0 - onehot) + conf * onehot
+        kl = true_dist * (jnp.log(true_dist) - logp)
+        return jnp.sum(kl) / logits.shape[0]
+
+    def embed_codes(self, ids):
+        return self.codec_embedding(ids)
+
+    def forward_embeds(self, embeds, target_ids):
+        """Training forward on a pre-assembled embedding sequence; loss over the
+        trailing len(target_ids) positions (llm.py:138-147)."""
+        hidden = self.backbone(embeds)
+        t = target_ids.shape[-1]
+        hidden = hidden[:, -t:]
+        logits = self.output_head(hidden)
+        loss = self.loss_function(logits, target_ids)
+        acc = jnp.mean(
+            (jnp.argmax(logits, axis=-1) == target_ids).astype(jnp.float32)
+        )
+        return loss, acc
+
+    def __call__(self, global_ids, semantic_ids, cond_embeds=None):
+        """Pretraining objective (llm.py:107-147): model [gSOS g... sSOS s...],
+        predict shifted; the final eos target is dropped."""
+        cfg = self.cfg
+        b = global_ids.shape[0]
+        g = global_ids.astype(jnp.int32) + cfg.global_offset
+        s = semantic_ids.astype(jnp.int32) + cfg.semantic_offset
+        gsos = jnp.full((b, 1), cfg.global_sos, jnp.int32)
+        ssos = jnp.full((b, 1), cfg.semantic_sos, jnp.int32)
+        seos = jnp.full((b, 1), cfg.semantic_eos, jnp.int32)
+        input_ids = jnp.concatenate([gsos, g, ssos, s], axis=1)[:, :-1]
+        target_ids = jnp.concatenate([g, ssos, s, seos], axis=1)[:, :-1]
+        embeds = self.codec_embedding(input_ids)
+        if cond_embeds is not None:
+            embeds = jnp.concatenate([cond_embeds, embeds], axis=1)
+        return self.forward_embeds(embeds, target_ids)
+
+    # --- incremental decode API (used by generate in sft.py) ---
+
+    def prefill(self, embeds, cache):
+        hidden, cache = self.backbone.prefill(embeds, cache)
+        return self.output_head(hidden[:, -1]), cache
+
+    def decode_ids(self, ids, cache):
+        """ids (B,) -> (logits (B, V), cache). One decode step."""
+        embeds = self.codec_embedding(ids[:, None])
+        hidden, cache = self.backbone.decode_step(embeds, cache)
+        return self.output_head(hidden[:, -1]), cache
+
+
+def range_mask(cfg: LlamaConfig, offset: int, size: int) -> jnp.ndarray:
+    """Additive (V,) mask: 0 inside [offset, offset+size), NEG_INF outside
+    (the per-phase vocab restriction of llm_sft.py:150-153, 179-182)."""
+    v = cfg.vocab_size
+    idx = jnp.arange(v)
+    return jnp.where((idx >= offset) & (idx < offset + size), 0.0, NEG_INF)
