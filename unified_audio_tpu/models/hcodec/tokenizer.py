@@ -1,0 +1,108 @@
+"""HCodecTokenizer: the user-facing tokenize/detokenize API bundling the frozen
+SSL frontend with the codec (HCodec-1.0/audio_tokenizer.py:18-66,
+HCodec-2.0/audio_tokenizer.py:19-79).
+
+A plain Python orchestrator over jitted pure functions — the codec and SSL
+variables are closed over as constants so XLA folds and fuses the whole
+tokenize/detokenize pipeline into single programs.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ...ops import dsp
+from ..ssl import wav2vec2 as ssl_mod
+from .codec import HCodec, HCodecConfig, hcodec10_config, hcodec20_config
+
+
+class HCodecTokenizer:
+    """tokenize(wav (B, T)) -> (acoustic_codes, semantic_codes) each (B, nq, T');
+    detokenize(acoustic, semantic) -> wav (B, T). Reference code layout
+    (b, nq, t) is kept at this API boundary."""
+
+    def __init__(
+        self,
+        codec_config: HCodecConfig,
+        codec_variables,
+        ssl_config: ssl_mod.SSLConfig,
+        ssl_variables,
+    ):
+        self.config = codec_config
+        self.codec = HCodec(codec_config)
+        self.codec_variables = codec_variables
+        self.ssl = ssl_mod.Wav2Vec2Model(ssl_config)
+        self.ssl_variables = ssl_variables
+        self.hop_length = codec_config.hop_length
+
+        @jax.jit
+        def _features(wav16k):
+            # |x|^0.3-compressed all-layer HuBERT mean (audio_tokenizer.py:35-48)
+            padded = jnp.pad(wav16k, [(0, 0), (160, 160)])
+            hs = self.ssl.apply(self.ssl_variables, padded)
+            return ssl_mod.hubert_features(hs)
+
+        @jax.jit
+        def _encode(wav, feats):
+            return self.codec.apply(
+                self.codec_variables, wav[..., None], feats, method="encode"
+            )
+
+        @jax.jit
+        def _decode(acoustic, semantic):
+            return self.codec.apply(
+                self.codec_variables, acoustic, semantic, method="decode"
+            )
+
+        self._features = _features
+        self._encode = _encode
+        self._decode = _decode
+
+    @classmethod
+    def from_random(cls, key, codec_config=None, ssl_config=None):
+        """Randomly initialized tokenizer (tests / benchmarks)."""
+        codec_config = codec_config or hcodec10_config()
+        ssl_config = ssl_config or ssl_mod.hubert_base_config()
+        k1, k2, k3 = jax.random.split(key, 3)
+        codec = HCodec(codec_config)
+        t = 4 * codec_config.hop_length
+        wav = jnp.zeros((1, t, 1))
+        feat_rate = codec_config.hop_length // (
+            320 if codec_config.version == "1.0" else 960
+        )
+        # SSL features arrive at 50 Hz (of the 16 kHz stream)
+        t16 = t if codec_config.sample_rate == 16000 else t // 3
+        feats = jnp.zeros((1, t16 // 320, codec_config.feat_dim))
+        codec_vars = codec.init({"params": k1, "quant": k2}, wav, feats,
+                                train=False)
+        ssl = ssl_mod.Wav2Vec2Model(ssl_config)
+        ssl_vars = ssl.init(k3, jnp.zeros((1, 16320)))
+        return cls(codec_config, codec_vars, ssl_config, ssl_vars)
+
+    def pad_wav(self, wav: jnp.ndarray) -> jnp.ndarray:
+        t = wav.shape[-1]
+        pad = -(-t // self.hop_length) * self.hop_length - t
+        return jnp.pad(wav, [(0, 0)] * (wav.ndim - 1) + [(0, pad)])
+
+    def extract_features(self, wav: jnp.ndarray) -> jnp.ndarray:
+        if self.config.sample_rate != 16000:
+            wav16 = dsp.resample(wav, self.config.sample_rate, 16000)
+        else:
+            wav16 = wav
+        return self._features(wav16)
+
+    def tokenize(self, wav: jnp.ndarray):
+        wav = self.pad_wav(wav)
+        feats = self.extract_features(wav)
+        acoustic, semantic = self._encode(wav, feats)  # (B, T, nq)
+        return jnp.swapaxes(acoustic, -1, -2), jnp.swapaxes(semantic, -1, -2)
+
+    def detokenize(self, acoustic_codes, semantic_codes):
+        return self._decode(
+            jnp.swapaxes(acoustic_codes, -1, -2),
+            jnp.swapaxes(semantic_codes, -1, -2),
+        )

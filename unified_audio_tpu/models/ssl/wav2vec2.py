@@ -255,6 +255,9 @@ def wavlm_features(hidden_states) -> jnp.ndarray:
     return jnp.mean(jnp.stack(hidden_states, axis=0), axis=0)
 
 
-def xlsr_features(hidden_states) -> jnp.ndarray:
-    """(h11 + h14 + h16) / 3 (bicodec audio_tokenizer.py:86-88)."""
-    return (hidden_states[11] + hidden_states[14] + hidden_states[16]) / 3.0
+def xlsr_features(hidden_states, layers=(11, 14, 16)) -> jnp.ndarray:
+    """(h11 + h14 + h16) / 3 (bicodec audio_tokenizer.py:86-88). Layer indices
+    clamp to the available depth so shallow test configs stay valid."""
+    n = len(hidden_states)
+    picked = [hidden_states[min(i, n - 1)] for i in layers]
+    return sum(picked) / float(len(picked))
