@@ -1,0 +1,64 @@
+"""Headline benchmark: HCodec-1.0 encode+decode real-time factor per chip.
+
+Runs the full tokenize -> detokenize pipeline (HuBERT-base feature frontend,
+SEANet encoder, dual RVQ, ConvNeXt/ISTFT decoder) at reference model sizes on a
+10 s 16 kHz mono wav (BASELINE config 1) and reports audio-seconds processed
+per wall-second. North-star target is >=50x real time per chip
+(BASELINE.json), so vs_baseline = RTFx / 50.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from unified_audio_tpu.models.hcodec.codec import hcodec10_config
+    from unified_audio_tpu.models.hcodec.tokenizer import HCodecTokenizer
+    from unified_audio_tpu.models.ssl import wav2vec2 as ssl_mod
+
+    # full-size models, random weights (throughput is weight-independent);
+    # kmeans_init off so codebooks are non-degenerate at init
+    codec_cfg = hcodec10_config(quantize_dropout=False)
+    tok = HCodecTokenizer.from_random(
+        jax.random.PRNGKey(0), codec_cfg, ssl_mod.hubert_base_config()
+    )
+
+    seconds = 10.0
+    sr = codec_cfg.sample_rate
+    wav = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, int(seconds * sr))),
+        dtype=jnp.float32,
+    )
+
+    def roundtrip(w):
+        ac, sem = tok.tokenize(w)
+        return tok.detokenize(ac, sem)
+
+    # warmup / compile
+    out = roundtrip(wav)
+    out.block_until_ready()
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = roundtrip(wav)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+
+    rtfx = seconds / dt
+    print(json.dumps({
+        "metric": "hcodec10_encode_decode_rtfx",
+        "value": round(rtfx, 2),
+        "unit": "x_realtime_per_chip",
+        "vs_baseline": round(rtfx / 50.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

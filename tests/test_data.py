@@ -1,0 +1,135 @@
+"""Data pipeline tests: simulator distortions, wav IO, SCP loader + iterator."""
+import numpy as np
+import pytest
+
+from unified_audio_tpu.data import simulation
+from unified_audio_tpu.data.audio_io import read_wav, write_wav
+from unified_audio_tpu.data.data_module import TrainDataIterator, WaveInfo
+
+
+class TestSimulation:
+    def test_detect_non_silence(self, rng):
+        x = np.zeros((1, 16000), np.float32)
+        x[:, 4000:8000] = rng.standard_normal((1, 4000)).astype(np.float32)
+        mask = simulation.detect_non_silence(x)
+        assert mask.shape == x.shape
+        assert mask[:, 5000:7000].all()
+        assert not mask[:, :2000].any()
+
+    def test_mix_noise_snr(self, rng):
+        g = np.random.default_rng(0)
+        speech = rng.standard_normal((1, 16000)).astype(np.float32)
+        noise = rng.standard_normal((1, 16000)).astype(np.float32)
+        noisy = simulation.mix_noise(speech, noise, snr=0.0, rng=g)
+        resid = noisy - speech
+        snr = 20 * np.log10(speech.std() / resid.std())
+        assert abs(snr) < 1.0  # ~0 dB
+
+    def test_bandwidth_limitation(self, rng):
+        t = np.arange(16000) / 16000
+        x = (np.sin(2 * np.pi * 1000 * t) + np.sin(2 * np.pi * 7000 * t))[None]
+        y = simulation.bandwidth_limitation(x.astype(np.float32), 16000, 4000)
+        assert y.shape == x.shape
+        spec = np.abs(np.fft.rfft(y[0]))
+        freqs = np.fft.rfftfreq(16000, 1 / 16000)
+        # 7 kHz component removed, 1 kHz survives
+        assert spec[np.argmin(np.abs(freqs - 7000))] < 0.05 * spec[
+            np.argmin(np.abs(freqs - 1000))]
+
+    def test_clipping(self, rng):
+        x = rng.standard_normal((1, 8000)).astype(np.float32)
+        y = simulation.clipping(x, 0.05, 0.95)
+        assert y.max() <= np.quantile(x, 0.95) + 1e-6
+        assert y.min() >= np.quantile(x, 0.05) - 1e-6
+
+    def test_packet_loss(self):
+        g = np.random.default_rng(0)
+        idx = simulation.packet_loss_indices(80000, 16000, 20, 0.2, 5, g)
+        assert len(idx) > 0
+        x = np.ones((1, 80000), np.float32)
+        y = simulation.apply_packet_loss(x, 16000, idx, 20)
+        assert (y == 0).sum() > 0
+
+    @pytest.mark.parametrize("mode", ["se", "tse"])
+    def test_full_pipeline(self, rng, mode):
+        g = np.random.default_rng(1)
+        speech = rng.standard_normal((1, 32000)).astype(np.float32) * 0.1
+        interf = (rng.standard_normal((1, 32000)).astype(np.float32) * 0.1
+                  if mode == "tse" else None)
+        noise = rng.standard_normal((1, 16000)).astype(np.float32) * 0.05
+        rir = np.zeros((1, 4000), np.float32)
+        rir[0, 100] = 1.0
+        rir[0, 500] = 0.3
+        noisy, speech_out, interf_out = simulation.simulate_data(
+            mode, speech, interf, noise, rir, 16000, rng=g
+        )
+        assert noisy.shape == speech_out.shape == (1, 32000)
+        assert np.max(np.abs(noisy)) <= 0.99 + 1e-5
+        if mode == "tse":
+            assert interf_out is not None
+
+
+class TestAudioIO:
+    def test_roundtrip(self, tmp_path, rng):
+        x = (rng.standard_normal(16000) * 0.2).astype(np.float32)
+        p = tmp_path / "t.wav"
+        write_wav(p, x, 16000)
+        y, fs = read_wav(p)
+        assert fs == 16000 and y.shape == (1, 16000)
+        np.testing.assert_allclose(y[0], x, atol=1e-3)
+
+
+class TestDataModule:
+    def _make_scps(self, tmp_path, rng):
+        for spk in ("a", "b", "c"):
+            for i in range(2):
+                write_wav(tmp_path / f"{spk}{i}.wav",
+                          rng.standard_normal(24000).astype(np.float32) * 0.2,
+                          16000)
+        write_wav(tmp_path / "noise.wav",
+                  rng.standard_normal(16000).astype(np.float32) * 0.1, 16000)
+        rir = np.zeros(2000, np.float32)
+        rir[50] = 1.0
+        write_wav(tmp_path / "rir.wav", rir, 16000)
+
+        speech_scp = tmp_path / "speech.scp"
+        speech_scp.write_text("".join(
+            f"{spk}{i} spk_{spk} {tmp_path}/{spk}{i}.wav\n"
+            for spk in ("a", "b", "c") for i in range(2)
+        ))
+        noise_scp = tmp_path / "noise.scp"
+        noise_scp.write_text(f"n0 16000 0 16000 {tmp_path}/noise.wav\n")
+        rir_scp = tmp_path / "rir.scp"
+        rir_scp.write_text(f"r0 {tmp_path}/rir.wav\n")
+        return speech_scp, noise_scp, rir_scp
+
+    def test_waveinfo_parse(self):
+        w = WaveInfo.parse("u1 spk3 /x/y.wav", "speech")
+        assert w.spk == "spk3" and w.path == "/x/y.wav"
+        n = WaveInfo.parse("n1 16000 8000 32000 /n.wav", "noise")
+        assert n.fs == 16000 and n.offset == 0.5 and n.duration == 2.0
+
+    def test_iterator_batches(self, tmp_path, rng):
+        scps = self._make_scps(tmp_path, rng)
+        it = TrainDataIterator(
+            *scps, batch_size=2, cut_duration=1.0, enroll_duration=1.0,
+            num_workers=2, samples_per_epoch=8, seed=0,
+            process_index=0, process_count=1,
+        )
+        batches = list(it)
+        assert len(batches) == 4
+        for mode, enroll, mix, speech, interf, fs, lens, names in batches:
+            assert mode in ("se", "tse", "rtse")
+            assert mix.shape == (2, 16000) and speech.shape == (2, 16000)
+            if mode != "se":
+                assert enroll.shape == (2, 16000)
+                assert interf is not None
+            assert len(names) == 2
+
+    def test_rank_sharding(self, tmp_path, rng):
+        scps = self._make_scps(tmp_path, rng)
+        it = TrainDataIterator(
+            *scps, batch_size=2, samples_per_epoch=16,
+            process_index=0, process_count=4,
+        )
+        assert len(it) == 2  # 16 // (4 * 2)

@@ -1,0 +1,99 @@
+"""SPMD tests on the 8-device CPU mesh: dp x tp sharded train step runs,
+matches the unsharded loss, and updates parameters."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from unified_audio_tpu.models.bicodec.bicodec import BiCodecConfig
+from unified_audio_tpu.models.bicodec.tokenizer import BiCodecTokenizer
+from unified_audio_tpu.models.lm.llama import LlamaConfig
+from unified_audio_tpu.models.ssl import wav2vec2 as ssl_mod
+from unified_audio_tpu.models.unise.model import UniSE, UniSEConfig
+from unified_audio_tpu.parallel import mesh as mesh_lib
+from unified_audio_tpu.train.optim import make_optimizer, warmup_exp_decay_schedule
+from unified_audio_tpu.train.sft_trainer import SFTTrainer
+
+from tests.test_unise import tiny_bicodec_cfg, tiny_ssl_cfg
+
+
+def build_unise(key):
+    k1, k2, k3 = jax.random.split(key, 3)
+    tok = BiCodecTokenizer.from_random(k1, tiny_bicodec_cfg(), tiny_ssl_cfg(32))
+    wavlm_cfg = tiny_ssl_cfg(24)
+    wavlm = ssl_mod.Wav2Vec2Model(wavlm_cfg)
+    wavlm_vars = wavlm.init(k2, jnp.zeros((1, 16320)))
+    cfg = UniSEConfig(
+        segment_seconds=0.4, feats_dim=24, global_tokens=4,
+        llm=LlamaConfig(global_size=64, semantic_size=64, hidden_size=32,
+                        num_layers=2, num_heads=4),
+    )
+    return UniSE(cfg, tok, wavlm_cfg, wavlm_vars, rng={"params": k3})
+
+
+class TestMesh:
+    def test_make_mesh(self):
+        mesh = mesh_lib.make_mesh(tp=2)
+        assert mesh.shape == {"dp": 4, "tp": 2}
+
+    def test_param_shardings_rules(self, key):
+        unise = build_unise(key)
+        mesh = mesh_lib.make_mesh(tp=2)
+        sh = mesh_lib.param_shardings(unise.sft_params, mesh)
+        flat = jax.tree_util.tree_flatten_with_path(sh)[0]
+        specs = {
+            "/".join(str(getattr(k, "key", k)) for k in kp): v.spec
+            for kp, v in flat
+        }
+        qspec = [v for k, v in specs.items() if "q_proj" in k][0]
+        assert qspec == P(None, "tp")
+        ospec = [v for k, v in specs.items() if "o_proj" in k][0]
+        assert ospec == P("tp", None)
+
+
+class TestSchedule:
+    def test_warmup_then_decay(self):
+        sch = warmup_exp_decay_schedule(peak_lr=1.0, warmup_steps=100,
+                                        step_decay=0.99, min_factor=0.1)
+        assert float(sch(0)) < 1e-6
+        np.testing.assert_allclose(float(sch(100)), 1.0, rtol=1e-5)
+        assert 0.3 < float(sch(200)) < 0.4  # 0.99^100 ~ 0.366
+        np.testing.assert_allclose(float(sch(100000)), 0.1, rtol=1e-5)
+
+
+class TestSPMDTraining:
+    def test_sharded_step_matches_unsharded(self, rng):
+        key = jax.random.PRNGKey(0)
+        b, t = 8, 6400
+        mix = jnp.asarray(rng.standard_normal((b, t)).astype(np.float32))
+        target = jnp.asarray(rng.standard_normal((b, t)).astype(np.float32))
+
+        unise1 = build_unise(key)
+        tr_plain = SFTTrainer(unise1, mesh=None,
+                              optimizer=make_optimizer(warmup_steps=1))
+        loss_plain, _ = tr_plain.train_step("se", None, mix, target)
+
+        unise2 = build_unise(key)
+        mesh = mesh_lib.make_mesh(tp=2)
+        tr_spmd = SFTTrainer(unise2, mesh=mesh,
+                             optimizer=make_optimizer(warmup_steps=1))
+        loss_spmd, _ = tr_spmd.train_step("se", None, mix, target)
+
+        np.testing.assert_allclose(loss_plain, loss_spmd, rtol=2e-3)
+
+    def test_multi_step_training_progresses(self, key, rng):
+        unise = build_unise(key)
+        mesh = mesh_lib.make_mesh(tp=2)
+        tr = SFTTrainer(unise, mesh=mesh,
+                        optimizer=make_optimizer(peak_lr=1e-3, warmup_steps=4))
+        b, t = 8, 6400
+        mix = jnp.asarray(rng.standard_normal((b, t)).astype(np.float32))
+        target = jnp.asarray(rng.standard_normal((b, t)).astype(np.float32))
+        losses = []
+        for task in ("se", "tse", "rtse"):
+            enroll = mix if task != "se" else None
+            loss, acc = tr.train_step(task, enroll, mix, target)
+            assert np.isfinite(loss)
+            losses.append(loss)
+        assert tr.step == 3

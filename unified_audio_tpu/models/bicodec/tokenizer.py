@@ -12,6 +12,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from ...utils.initialization import init_on_cpu
 from ..ssl import wav2vec2 as ssl_mod
 from .bicodec import BiCodec, BiCodecConfig
 
@@ -59,9 +60,9 @@ class BiCodecTokenizer:
         model = BiCodec(config)
         wav = jnp.zeros((1, config.latent_hop_length * 10))
         feat = jnp.zeros((1, 10, config.feat_dim))
-        variables = model.init(k1, feat, wav)
+        variables = init_on_cpu(lambda: model.init(k1, feat, wav))
         ssl = ssl_mod.Wav2Vec2Model(ssl_config)
-        ssl_vars = ssl.init(k2, jnp.zeros((1, 16320)))
+        ssl_vars = init_on_cpu(lambda: ssl.init(k2, jnp.zeros((1, 16320))))
         return cls(config, variables, ssl_config, ssl_vars)
 
     def get_ref_clip(self, wav: jnp.ndarray) -> jnp.ndarray:

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ...ops import dsp
+from ...utils.initialization import init_on_cpu
 from ..ssl import wav2vec2 as ssl_mod
 from .codec import HCodec, HCodecConfig, hcodec10_config, hcodec20_config
 
@@ -77,10 +78,12 @@ class HCodecTokenizer:
         # SSL features arrive at 50 Hz (of the 16 kHz stream)
         t16 = t if codec_config.sample_rate == 16000 else t // 3
         feats = jnp.zeros((1, t16 // 320, codec_config.feat_dim))
-        codec_vars = codec.init({"params": k1, "quant": k2}, wav, feats,
-                                train=False)
+        codec_vars = init_on_cpu(
+            lambda: codec.init({"params": k1, "quant": k2}, wav, feats,
+                               train=False)
+        )
         ssl = ssl_mod.Wav2Vec2Model(ssl_config)
-        ssl_vars = ssl.init(k3, jnp.zeros((1, 16320)))
+        ssl_vars = init_on_cpu(lambda: ssl.init(k3, jnp.zeros((1, 16320))))
         return cls(codec_config, codec_vars, ssl_config, ssl_vars)
 
     def pad_wav(self, wav: jnp.ndarray) -> jnp.ndarray:

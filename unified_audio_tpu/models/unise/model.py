@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ...ops import dsp
+from ...utils.initialization import init_on_cpu
 from ..bicodec.tokenizer import BiCodecTokenizer
 from ..lm.llama import LlamaConfig
 from ..lm.sft import LLMSFT
@@ -74,7 +75,9 @@ class UniSE:
             dummy_feats = jnp.zeros((1, t, config.feats_dim))
             g = jnp.zeros((1, config.global_tokens), jnp.int32)
             s = jnp.zeros((1, t), jnp.int32)
-            sft_params = self.sft.init(rng, 0, None, dummy_feats, g, s)
+            sft_params = init_on_cpu(
+                lambda: self.sft.init(rng, 0, None, dummy_feats, g, s)
+            )
         self.sft_params = sft_params
 
         @jax.jit

@@ -1,0 +1,90 @@
+"""Device mesh + sharding rules.
+
+The reference's only parallelism is PyTorch-Lightning DDP (train.py:35). The
+TPU-native equivalent is GSPMD: we build a Mesh over (dp, tp) axes, annotate
+batch and parameter shardings with NamedSharding, and let XLA insert the
+collectives (psum for grads over dp rides ICI; tp shards the LM's attention
+heads and MLP). VQ codebook EMA sync uses lax.psum over "dp" inside the step
+(see ops/quant.py), replacing torch.distributed all_reduce+broadcast.
+"""
+from __future__ import annotations
+
+import re
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(dp: Optional[int] = None, tp: int = 1, devices=None) -> Mesh:
+    """Build a (dp, tp) mesh. dp defaults to len(devices)//tp."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if dp is None:
+        assert n % tp == 0, (n, tp)
+        dp = n // tp
+    assert dp * tp == n, (dp, tp, n)
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, axis_names=("dp", "tp"))
+
+
+# Parameter-path regex -> PartitionSpec for the LM. Everything unmatched is
+# replicated. Kernel layout is (in, out) for Dense.
+LM_RULES: Sequence = (
+    (r".*self_attn/(q_proj|k_proj|v_proj)/kernel", P(None, "tp")),
+    (r".*self_attn/o_proj/kernel", P("tp", None)),
+    (r".*mlp/(gate_proj|up_proj)/kernel", P(None, "tp")),
+    (r".*mlp/down_proj/kernel", P("tp", None)),
+    (r".*output_head/kernel", P(None, "tp")),
+    (r".*codec_embedding/embedding", P(None, "tp")),
+)
+
+
+def _spec_for(path: str, rules) -> P:
+    for pattern, spec in rules:
+        if re.fullmatch(pattern, path):
+            return spec
+    return P()
+
+
+def param_shardings(params, mesh: Mesh, rules=LM_RULES):
+    """Map a params pytree to NamedShardings by path regex."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def path_str(kp):
+        return "/".join(
+            getattr(k, "key", getattr(k, "name", str(k))) for k in kp
+        )
+
+    specs = {path_str(kp): _spec_for(path_str(kp), rules) for kp, _ in flat}
+
+    def to_sharding(kp, x):
+        spec = specs[path_str(kp)]
+        # drop axes that do not divide the dim evenly -> replicate that axis
+        fixed = []
+        for dim, s in zip(x.shape, spec):
+            if s is not None and dim % mesh.shape[s] != 0:
+                s = None
+            fixed.append(s)
+        fixed += [None] * (x.ndim - len(fixed))
+        return NamedSharding(mesh, P(*fixed))
+
+    return jax.tree_util.tree_map_with_path(to_sharding, params)
+
+
+def replicated(mesh: Mesh):
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh):
+    """Shard the leading (batch) axis over dp."""
+    return NamedSharding(mesh, P("dp"))
+
+
+def shard_batch(tree, mesh: Mesh):
+    s = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, s) if hasattr(x, "ndim") and x.ndim >= 1 else x,
+        tree,
+    )

@@ -1,0 +1,68 @@
+"""UniSE SFT training: one jitted SPMD step (tokenize + features + LM loss +
+AdamW) over a (dp, tp) mesh.
+
+Replaces the reference's Lightning DDP loop (train.py, model.py:96-124,
+configure_optimizers model.py:327-353): the batch is dp-sharded, LM params are
+tp-sharded by the rules in parallel/mesh.py, and XLA inserts the gradient
+psum — no explicit collectives in user code.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.unise.model import TASK_MAP, UniSE
+from ..parallel import mesh as mesh_lib
+from .optim import make_optimizer
+
+
+class SFTTrainer:
+    def __init__(self, unise: UniSE, mesh=None, optimizer=None):
+        self.unise = unise
+        self.mesh = mesh
+        self.optimizer = optimizer or make_optimizer()
+        self.opt_state = self.optimizer.init(unise.sft_params)
+        self.params = unise.sft_params
+        self.step = 0
+
+        if mesh is not None:
+            shardings = mesh_lib.param_shardings(self.params, mesh)
+            self.params = jax.device_put(self.params, shardings)
+            opt_shardings = jax.tree_util.tree_map(
+                lambda x: mesh_lib.replicated(mesh), self.opt_state
+            )
+            # moment buffers follow the param shardings where shapes match
+            self.opt_state = jax.device_put(self.opt_state, opt_shardings)
+
+        @partial(jax.jit, static_argnames=("task",), donate_argnums=(0, 1))
+        def _train_step(params, opt_state, task, enroll, mix, target):
+            def loss_fn(p):
+                loss, acc = self.unise.loss_fn(p, task, enroll, mix, target)
+                return loss, acc
+
+            (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, new_opt = self.optimizer.update(grads, opt_state, params)
+            new_params = jax.tree_util.tree_map(
+                lambda p, u: p + u, params, updates
+            )
+            return new_params, new_opt, loss, acc
+
+        self._train_step = _train_step
+
+    def train_step(self, task: str, enroll, mix, target):
+        """task in {se, tse, rtse}; enroll None for se. Arrays (B, T)."""
+        if self.mesh is not None:
+            put = lambda x: (
+                jax.device_put(x, mesh_lib.batch_sharding(self.mesh))
+                if x is not None else None
+            )
+            enroll, mix, target = put(enroll), put(mix), put(target)
+        self.params, self.opt_state, loss, acc = self._train_step(
+            self.params, self.opt_state, task, enroll, mix, target
+        )
+        self.unise.sft_params = self.params
+        self.step += 1
+        return float(loss), float(acc)

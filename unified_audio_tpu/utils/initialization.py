@@ -1,0 +1,22 @@
+"""Fast model init for remote-attached accelerators.
+
+Eager flax ``init`` dispatches thousands of tiny ops; on a tunnel-attached TPU
+each one is a host round-trip, making full-size init take minutes. Run init on
+the host CPU backend and bulk-transfer the resulting pytree to the default
+device in one DMA.
+"""
+from __future__ import annotations
+
+import jax
+
+
+def init_on_cpu(init_fn, to_default_device: bool = True):
+    """Run ``init_fn()`` (returning a pytree) on CPU, then move to the default
+    device as one transfer."""
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        tree = init_fn()
+    default = jax.devices()[0]
+    if to_default_device and default.platform != "cpu":
+        tree = jax.device_put(tree, default)
+    return tree
