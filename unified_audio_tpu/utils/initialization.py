@@ -15,7 +15,9 @@ def init_on_cpu(init_fn, to_default_device: bool = True):
     device as one transfer."""
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
-        tree = init_fn()
+        # jit the whole init: one XLA compile instead of thousands of eagerly
+        # dispatched (and individually compiled) ops
+        tree = jax.jit(init_fn)()
     default = jax.devices()[0]
     if to_default_device and default.platform != "cpu":
         tree = jax.device_put(tree, default)
