@@ -11,6 +11,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ...utils.initialization import init_on_cpu
 from ..ssl import wav2vec2 as ssl_mod
@@ -58,11 +59,11 @@ class BiCodecTokenizer:
         ssl_config = ssl_config or ssl_mod.wav2vec2_large_xlsr53_config()
         k1, k2 = jax.random.split(key)
         model = BiCodec(config)
-        wav = jnp.zeros((1, config.latent_hop_length * 10))
-        feat = jnp.zeros((1, 10, config.feat_dim))
+        wav = np.zeros((1, config.latent_hop_length * 10), np.float32)
+        feat = np.zeros((1, 10, config.feat_dim), np.float32)
         variables = init_on_cpu(lambda: model.init(k1, feat, wav))
         ssl = ssl_mod.Wav2Vec2Model(ssl_config)
-        ssl_vars = init_on_cpu(lambda: ssl.init(k2, jnp.zeros((1, 16320))))
+        ssl_vars = init_on_cpu(lambda: ssl.init(k2, np.zeros((1, 16320), np.float32)))
         return cls(config, variables, ssl_config, ssl_vars)
 
     def get_ref_clip(self, wav: jnp.ndarray) -> jnp.ndarray:

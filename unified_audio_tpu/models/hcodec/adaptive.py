@@ -1,0 +1,270 @@
+"""HCodec-1.5: adaptive frame rate via similarity segmentation + query-token
+aggregation (HCodec-1.5 vq/codec_adaptive.py:28-209,
+adaptive/model_blocks/modeling_flexicodec_new.py:828-1050).
+
+Dynamic shapes redesigned for XLA (SURVEY §7 "hard parts"):
+
+* Segmentation: greedy lax.scan over time — a new group starts when the cosine
+  similarity of consecutive semantic frames drops below the threshold or the
+  group reaches ``max_group_len`` (8). Output is a dense ``group_ids (B, T)``
+  map; the number of groups is data-dependent but everything is computed at
+  the fixed maximum G = T with padding groups masked.
+* Aggregation: the reference interleaves learned query tokens into the frame
+  stream and runs a streaming transformer (mimi/transformer.py:701-826).
+  Here each group's query cross-attends to exactly its member frames through a
+  (G, T) segment mask — same function, static shapes, one batched attention.
+* De-aggregation: instead of per-item repeat_interleave, a gather
+  ``out[b, t] = groups[b, group_ids[b, t]]``.
+* Token-length injection (codec_adaptive.py:68-80): the duration of each group
+  rides in the code index, ``code' = (len-1) * codebook_size + code``.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ...nn.blocks import SEANetEncoder
+from ...nn.transformer import NEG_INF, RMSNorm, Transformer
+from ...ops.quant import ResidualVQ
+from .codec import CodecDecoder10, HCodecConfig, hcodec10_config
+from .semantic import SemanticDecoder, SemanticEncoder
+
+
+def similarity_group_ids(
+    emb: jnp.ndarray, threshold: float, max_group_len: int = 8
+) -> jnp.ndarray:
+    """Greedy similarity segmentation -> group ids (B, T) int32, monotone
+    starting at 0 (modeling_flexicodec_new.py:828-925 semantics)."""
+    norm = emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-8)
+    sim = jnp.sum(norm[:, 1:] * norm[:, :-1], axis=-1)  # (B, T-1)
+    new_by_sim = sim < threshold
+    # scan to enforce the max group length
+    def step(carry, new_flag):
+        run_len = carry
+        force = run_len >= max_group_len
+        boundary = new_flag | force
+        run_len = jnp.where(boundary, 1, run_len + 1)
+        return run_len, boundary
+
+    b, t, _ = emb.shape
+    init = jnp.ones((b,), jnp.int32)
+    _, boundaries = jax.lax.scan(step, init, jnp.swapaxes(new_by_sim, 0, 1))
+    boundaries = jnp.swapaxes(boundaries, 0, 1)  # (B, T-1)
+    first = jnp.zeros((b, 1), boundaries.dtype)
+    return jnp.cumsum(
+        jnp.concatenate([first, boundaries], axis=1).astype(jnp.int32), axis=1
+    )
+
+
+def group_lengths(group_ids: jnp.ndarray, max_groups: int) -> jnp.ndarray:
+    """(B, T) -> (B, G) frame counts per group (0 for padding groups)."""
+    onehot = jax.nn.one_hot(group_ids, max_groups, dtype=jnp.int32)
+    return jnp.sum(onehot, axis=1)
+
+
+def degroup(groups: jnp.ndarray, group_ids: jnp.ndarray) -> jnp.ndarray:
+    """Gather groups (B, G, D) back to frames (B, T, D) by group id."""
+    return jnp.take_along_axis(
+        groups, group_ids[..., None].astype(jnp.int32), axis=1
+    )
+
+
+def group_ids_from_lengths(lengths: jnp.ndarray, t: int) -> jnp.ndarray:
+    """Inverse of group_lengths: (B, G) -> (B, T) (cumsum + searchsorted)."""
+    ends = jnp.cumsum(lengths, axis=-1)  # (B, G)
+    pos = jnp.arange(t)
+    return jax.vmap(lambda e: jnp.searchsorted(e, pos, side="right"))(ends).astype(
+        jnp.int32
+    )
+
+
+def inject_length(codes: jnp.ndarray, lengths: jnp.ndarray,
+                  codebook_size: int) -> jnp.ndarray:
+    """code' = (len-1)*codebook_size + code; padding groups (len 0) -> -1."""
+    valid = lengths > 0
+    out = (jnp.maximum(lengths, 1) - 1)[..., None] * codebook_size + codes
+    return jnp.where(valid[..., None], out, -1)
+
+
+def extract_length(codes: jnp.ndarray, codebook_size: int):
+    """-> (plain codes, lengths); -1 stays -1 / length 0."""
+    valid = codes >= 0
+    lengths = jnp.where(valid, codes // codebook_size + 1, 0)
+    plain = jnp.where(valid, codes % codebook_size, -1)
+    # all layers share the group's length: take layer 0
+    return plain, lengths[..., 0]
+
+
+class QueryTokenAggregator(nn.Module):
+    """Per-group aggregation: group queries (initialized from segment means +
+    a learned query embedding) cross-attend to their member frames, then a
+    small self-attention stack refines the group sequence."""
+
+    dim: int
+    num_heads: int = 8
+    num_layers: int = 2
+
+    @nn.compact
+    def __call__(self, frames, group_ids):
+        b, t, d = frames.shape
+        g = t  # max groups
+        onehot = jax.nn.one_hot(group_ids, g, dtype=frames.dtype)  # (B, T, G)
+        counts = jnp.sum(onehot, axis=1)  # (B, G)
+        means = jnp.einsum("btg,btd->bgd", onehot, frames) / jnp.maximum(
+            counts[..., None], 1.0
+        )
+        query_emb = self.param("query", nn.initializers.normal(0.02), (d,))
+        q_in = means + query_emb
+
+        # cross-attention restricted to group membership
+        h = self.num_heads
+        hd = d // h
+        q = nn.Dense(d, name="q_proj")(RMSNorm(d, name="q_norm")(q_in))
+        k = nn.Dense(d, name="k_proj")(frames)
+        v = nn.Dense(d, name="v_proj")(frames)
+        q = q.reshape(b, g, h, hd)
+        k = k.reshape(b, t, h, hd)
+        v = v.reshape(b, t, h, hd)
+        mask = jnp.where(jnp.swapaxes(onehot, 1, 2) > 0, 0.0, NEG_INF)  # (B,G,T)
+        logits = jnp.einsum("bghd,bthd->bhgt", q, k) * hd**-0.5
+        logits = logits + mask[:, None]
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
+            frames.dtype
+        )
+        attended = jnp.einsum("bhgt,bthd->bghd", probs, v).reshape(b, g, d)
+        out = q_in + nn.Dense(d, use_bias=False, name="o_proj")(attended)
+
+        # refine the (masked) group sequence
+        out = Transformer(
+            hidden_size=d, intermediate_size=d * 4, num_heads=h,
+            num_layers=self.num_layers, causal=False, name="refine",
+        )(out)
+        valid = (counts > 0)[..., None]
+        return out * valid, counts.astype(jnp.int32)
+
+
+@dataclass(frozen=True)
+class AdaptiveConfig:
+    base: HCodecConfig = hcodec10_config()
+    similarity_threshold: float = 0.9
+    max_group_len: int = 8
+    bottleneck_layers: int = 2  # reference uses a 32-layer ProjectedTransformer
+
+
+class AdaptiveHCodec(nn.Module):
+    """Dual-stream adaptive-rate codec (codec_adaptive.py:28-209).
+
+    encode(wav, feat) -> (acoustic_codes, semantic_codes) (B, G, nq) with group
+    lengths injected into the indices; decode() reverses.
+    """
+
+    config: AdaptiveConfig = AdaptiveConfig()
+    vq_axis_name: Optional[str] = None
+
+    def setup(self):
+        cfg = self.config.base
+        self.encoder = SEANetEncoder(
+            dimension=cfg.latent_dim, n_filters=cfg.seanet_filters,
+            causal=cfg.causal, name="encoder",
+        )
+        self.semantic_encoder = SemanticEncoder(
+            input_channels=cfg.feat_dim,
+            encode_channels=cfg.semantic_encode_channels,
+            out_channels=cfg.latent_dim,
+            channel_ratios=cfg.semantic_ratios,
+            strides=cfg.semantic_strides,
+            name="semantic_encoder",
+        )
+        self.semantic_decoder = SemanticDecoder(
+            code_dim=cfg.latent_dim,
+            output_channels=cfg.feat_dim,
+            decode_channels=cfg.semantic_encode_channels,
+            channel_ratios=cfg.semantic_ratios,
+            strides=cfg.semantic_strides,
+            name="semantic_decoder",
+        )
+        self.acoustic_aggregator = QueryTokenAggregator(
+            cfg.latent_dim, name="acoustic_aggregator"
+        )
+        self.semantic_aggregator = QueryTokenAggregator(
+            cfg.latent_dim, name="semantic_aggregator"
+        )
+        vq_kwargs = dict(
+            dim=cfg.latent_dim, codebook_size=cfg.codebook_size,
+            num_quantizers=cfg.num_quantizers,
+            quantize_dropout=cfg.quantize_dropout,
+            axis_name=self.vq_axis_name,
+        )
+        self.quantizer = ResidualVQ(**vq_kwargs, name="quantizer")
+        self.semantic_quantizer = ResidualVQ(**vq_kwargs, name="semantic_quantizer")
+        self.bottleneck = Transformer(
+            hidden_size=cfg.latent_dim * 2,
+            intermediate_size=cfg.latent_dim * 4,
+            num_heads=8,
+            num_layers=self.config.bottleneck_layers,
+            causal=cfg.causal,
+            name="bottleneck",
+        )
+        self.decoder = CodecDecoder10(
+            dim=cfg.decoder_dim,
+            intermediate_dim=cfg.decoder_intermediate_dim,
+            convnext_layers=cfg.decoder_convnext_layers,
+            n_fft=cfg.n_fft, hop_length=cfg.istft_hop, causal=cfg.causal,
+            name="decoder",
+        )
+
+    def _align(self, wav, feat):
+        emb = self.encoder(wav)  # (B, T, D)
+        sem = self.semantic_encoder(feat)  # (B, T, D)
+        gid = similarity_group_ids(
+            sem, self.config.similarity_threshold, self.config.max_group_len
+        )
+        a_groups, counts = self.acoustic_aggregator(emb, gid)
+        s_groups, _ = self.semantic_aggregator(sem, gid)
+        return a_groups, s_groups, gid, counts
+
+    def __call__(self, wav, feat, train: bool = False):
+        cfg = self.config.base
+        a_groups, s_groups, gid, counts = self._align(wav, feat)
+        qa, _, ca = self.quantizer(a_groups, train=train)
+        qs, _, cs = self.semantic_quantizer(s_groups, train=train)
+        frames = jnp.concatenate(
+            [degroup(qa, gid), degroup(qs, gid)], axis=-1
+        )
+        frames = self.bottleneck(frames)
+        recon = self.decoder(frames)
+        pred_feat = self.semantic_decoder(degroup(qs, gid))
+        return recon, pred_feat, jnp.mean(ca) + jnp.mean(cs)
+
+    def encode(self, wav, feat):
+        cfg = self.config.base
+        a_groups, s_groups, gid, counts = self._align(wav, feat)
+        a_codes = self.quantizer.encode(a_groups)  # (B, G, nq)
+        s_codes = self.semantic_quantizer.encode(s_groups)
+        a_codes = inject_length(a_codes, counts, cfg.codebook_size)
+        s_codes = inject_length(s_codes, counts, cfg.codebook_size)
+        return a_codes, s_codes
+
+    def decode(self, acoustic_codes, semantic_codes):
+        cfg = self.config.base
+        a_plain, lengths = extract_length(acoustic_codes, cfg.codebook_size)
+        s_plain, _ = extract_length(semantic_codes, cfg.codebook_size)
+        t = int(jnp.asarray(acoustic_codes).shape[1])  # G == T frames
+        gid = group_ids_from_lengths(lengths, t)
+        qa = self.quantizer.decode(a_plain)
+        qs = self.semantic_quantizer.decode(s_plain)
+        frames = jnp.concatenate([degroup(qa, gid), degroup(qs, gid)], axis=-1)
+        frames = self.bottleneck(frames)
+        return self.decoder(frames)
+
+    def token_rate(self, wav, feat):
+        """Mean groups per second — the adaptive-rate diagnostic."""
+        cfg = self.config.base
+        *_, counts = self._align(wav, feat)
+        groups = jnp.sum(counts > 0, axis=-1)
+        seconds = wav.shape[1] / cfg.sample_rate
+        return groups / seconds

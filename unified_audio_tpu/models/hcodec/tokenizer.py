@@ -14,6 +14,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ...ops import dsp
 from ...utils.initialization import init_on_cpu
@@ -71,19 +72,19 @@ class HCodecTokenizer:
         k1, k2, k3 = jax.random.split(key, 3)
         codec = HCodec(codec_config)
         t = 4 * codec_config.hop_length
-        wav = jnp.zeros((1, t, 1))
+        wav = np.zeros((1, t, 1), np.float32)
         feat_rate = codec_config.hop_length // (
             320 if codec_config.version == "1.0" else 960
         )
         # SSL features arrive at 50 Hz (of the 16 kHz stream)
         t16 = t if codec_config.sample_rate == 16000 else t // 3
-        feats = jnp.zeros((1, t16 // 320, codec_config.feat_dim))
+        feats = np.zeros((1, t16 // 320, codec_config.feat_dim), np.float32)
         codec_vars = init_on_cpu(
             lambda: codec.init({"params": k1, "quant": k2}, wav, feats,
                                train=False)
         )
         ssl = ssl_mod.Wav2Vec2Model(ssl_config)
-        ssl_vars = init_on_cpu(lambda: ssl.init(k3, jnp.zeros((1, 16320))))
+        ssl_vars = init_on_cpu(lambda: ssl.init(k3, np.zeros((1, 16320), np.float32)))
         return cls(codec_config, codec_vars, ssl_config, ssl_vars)
 
     def pad_wav(self, wav: jnp.ndarray) -> jnp.ndarray:

@@ -237,7 +237,7 @@ def sample_logits(
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     if top_k > 0:
-        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+        kth = jax.lax.top_k(logits, min(top_k, logits.shape[-1]))[0][..., -1:]
         logits = jnp.where(logits < kth, NEG_INF, logits)
 
     if top_p < 1.0:

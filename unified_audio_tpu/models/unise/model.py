@@ -72,9 +72,9 @@ class UniSE:
         if sft_params is None:
             assert rng is not None
             t = int(config.segment_seconds * 50)
-            dummy_feats = jnp.zeros((1, t, config.feats_dim))
-            g = jnp.zeros((1, config.global_tokens), jnp.int32)
-            s = jnp.zeros((1, t), jnp.int32)
+            dummy_feats = np.zeros((1, t, config.feats_dim), np.float32)
+            g = np.zeros((1, config.global_tokens), np.int32)
+            s = np.zeros((1, t), np.int32)
             sft_params = init_on_cpu(
                 lambda: self.sft.init(rng, 0, None, dummy_feats, g, s)
             )
