@@ -1,0 +1,132 @@
+"""Converter golden tests: instantiate HF models with random weights (offline)
+and require numerical agreement with our flax implementations."""
+import numpy as np
+import pytest
+import torch
+import jax
+import jax.numpy as jnp
+
+from unified_audio_tpu.models.lm.llama import LlamaBackbone, LlamaConfig
+from unified_audio_tpu.models.ssl import wav2vec2 as ssl_mod
+from unified_audio_tpu.utils import convert
+
+
+def tiny_hf_w2v2_config(stable_ln=False, conv_bias=False, norm="group"):
+    from transformers import Wav2Vec2Config
+
+    return Wav2Vec2Config(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=64, conv_dim=[16] * 7,
+        conv_kernel=[10, 3, 3, 3, 3, 2, 2], conv_stride=[5, 2, 2, 2, 2, 2, 2],
+        conv_bias=conv_bias, feat_extract_norm=norm,
+        do_stable_layer_norm=stable_ln, num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4, layerdrop=0.0,
+        hidden_dropout=0.0, activation_dropout=0.0, attention_dropout=0.0,
+        feat_proj_dropout=0.0,
+    )
+
+
+def our_cfg_from_hf(hf, use_rel_pos_bias=False, **kw):
+    return ssl_mod.SSLConfig(
+        hidden_size=hf.hidden_size, num_layers=hf.num_hidden_layers,
+        num_heads=hf.num_attention_heads,
+        intermediate_size=hf.intermediate_size,
+        conv_dim=tuple(hf.conv_dim), conv_kernel=tuple(hf.conv_kernel),
+        conv_stride=tuple(hf.conv_stride), conv_bias=hf.conv_bias,
+        feat_extract_norm=hf.feat_extract_norm,
+        do_stable_layer_norm=hf.do_stable_layer_norm,
+        num_conv_pos_embeddings=hf.num_conv_pos_embeddings,
+        num_conv_pos_embedding_groups=hf.num_conv_pos_embedding_groups,
+        use_rel_pos_bias=use_rel_pos_bias, **kw,
+    )
+
+
+class TestWav2Vec2Parity:
+    @pytest.mark.parametrize("stable_ln,norm,bias", [
+        (False, "group", False),  # hubert/wav2vec2-base style
+        (True, "layer", True),    # xlsr-large style
+    ])
+    def test_hf_parity(self, rng, stable_ln, norm, bias):
+        from transformers import Wav2Vec2Model as HFModel
+
+        hf_cfg = tiny_hf_w2v2_config(stable_ln, bias, norm)
+        torch.manual_seed(0)
+        hf = HFModel(hf_cfg).eval()
+        wav = rng.standard_normal((1, 16320)).astype(np.float32)
+        with torch.no_grad():
+            ref = hf(torch.from_numpy(wav), output_hidden_states=True)
+
+        cfg = our_cfg_from_hf(hf_cfg)
+        ours_model = ssl_mod.Wav2Vec2Model(cfg)
+        params = convert.convert_hf_wav2vec2(hf.state_dict(), cfg)
+        hs = ours_model.apply(params, jnp.asarray(wav))
+
+        assert len(hs) == len(ref.hidden_states)
+        for i, (a, b) in enumerate(zip(hs, ref.hidden_states)):
+            np.testing.assert_allclose(
+                np.asarray(a), b.numpy(), atol=2e-4, rtol=1e-3,
+                err_msg=f"hidden state {i}",
+            )
+
+    def test_wavlm_parity(self, rng):
+        from transformers import WavLMConfig, WavLMModel
+
+        hf_cfg = WavLMConfig(
+            hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+            intermediate_size=64, conv_dim=[16] * 7,
+            conv_kernel=[10, 3, 3, 3, 3, 2, 2],
+            conv_stride=[5, 2, 2, 2, 2, 2, 2], conv_bias=False,
+            feat_extract_norm="group", do_stable_layer_norm=False,
+            num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+            num_buckets=32, max_bucket_distance=80, layerdrop=0.0,
+            hidden_dropout=0.0, activation_dropout=0.0, attention_dropout=0.0,
+            feat_proj_dropout=0.0,
+        )
+        torch.manual_seed(0)
+        hf = WavLMModel(hf_cfg).eval()
+        wav = rng.standard_normal((1, 16320)).astype(np.float32)
+        with torch.no_grad():
+            ref = hf(torch.from_numpy(wav), output_hidden_states=True)
+
+        cfg = our_cfg_from_hf(hf_cfg, use_rel_pos_bias=True, num_buckets=32,
+                              max_distance=80)
+        ours_model = ssl_mod.Wav2Vec2Model(cfg)
+        params = convert.convert_hf_wav2vec2(hf.state_dict(), cfg)
+        hs = ours_model.apply(params, jnp.asarray(wav))
+        for i, (a, b) in enumerate(zip(hs, ref.hidden_states)):
+            np.testing.assert_allclose(
+                np.asarray(a), b.numpy(), atol=5e-4, rtol=1e-3,
+                err_msg=f"hidden state {i}",
+            )
+
+
+class TestLlamaParity:
+    def test_hf_llama_backbone_parity(self, rng):
+        """Our backbone == HF LlamaModel layers on the same weights — the
+        architecture CustomLlamaModel wraps (llm.py:63-82)."""
+        from transformers import LlamaConfig as HFLlamaConfig, LlamaModel
+
+        hf_cfg = HFLlamaConfig(
+            vocab_size=64, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=4,
+            intermediate_size=128, max_position_embeddings=128,
+            attention_dropout=0.0,
+        )
+        torch.manual_seed(0)
+        hf = LlamaModel(hf_cfg).eval()
+        embeds = rng.standard_normal((2, 9, 32)).astype(np.float32)
+        with torch.no_grad():
+            ref = hf(inputs_embeds=torch.from_numpy(embeds)).last_hidden_state
+
+        cfg = LlamaConfig(hidden_size=32, num_layers=2, num_heads=4,
+                          global_size=16, semantic_size=16)
+        m = LlamaBackbone(cfg)
+        sd = hf.state_dict()
+        params = {"params": convert.convert_hf_llama_layers(
+            {k: v for k, v in sd.items() if not k.startswith("embed_tokens")},
+            2,
+        )}
+        ours = m.apply(params, jnp.asarray(embeds))
+        np.testing.assert_allclose(
+            np.asarray(ours), ref.numpy(), atol=3e-4, rtol=1e-3
+        )

@@ -1,0 +1,176 @@
+"""Checkpoint converters: torch/HF state dicts -> this framework's pytrees.
+
+Weight norm is folded at conversion (the reference folds it at load too,
+bicodec.py:223-231). Conv kernels transpose (out, in, K) -> (K, in, out);
+Linear kernels transpose (out, in) -> (in, out).
+
+Covered:
+* HF wav2vec2-family (HuBERT / WavLM / wav2vec2) -> models.ssl.Wav2Vec2Model
+* HF Llama layers (as used by CustomLlamaModel, llm.py:63-82) ->
+  models.lm.LlamaBackbone
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+
+def _t(x):  # torch tensor -> numpy
+    return np.asarray(x.detach().cpu().numpy() if hasattr(x, "detach") else x)
+
+
+def _linear(sd, prefix):
+    out = {"kernel": _t(sd[f"{prefix}.weight"]).T}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _t(sd[f"{prefix}.bias"])
+    return out
+
+
+def _layernorm(sd, prefix):
+    return {"scale": _t(sd[f"{prefix}.weight"]), "bias": _t(sd[f"{prefix}.bias"])}
+
+
+def _fold_weight_norm(sd, prefix):
+    """Return the folded conv weight for torch weight_norm params, handling
+    both legacy (weight_g/weight_v) and parametrized names."""
+    if f"{prefix}.weight" in sd:
+        return _t(sd[f"{prefix}.weight"])
+    if f"{prefix}.weight_g" in sd:
+        g = _t(sd[f"{prefix}.weight_g"])
+        v = _t(sd[f"{prefix}.weight_v"])
+    else:
+        g = _t(sd[f"{prefix}.parametrizations.weight.original0"])
+        v = _t(sd[f"{prefix}.parametrizations.weight.original1"])
+    # torch pos-conv weight norm uses dim=2; general: broadcast g over v/||v||
+    axes = tuple(i for i in range(v.ndim) if g.shape[i] == 1) if g.ndim == v.ndim else None
+    if axes is None:
+        # dim=0 convention: per-out-channel scale
+        norm = np.sqrt((v.reshape(v.shape[0], -1) ** 2).sum(1)).reshape(
+            (-1,) + (1,) * (v.ndim - 1)
+        )
+        return v / norm * g.reshape((-1,) + (1,) * (v.ndim - 1))
+    norm = np.sqrt((v**2).sum(axis=axes, keepdims=True))
+    return v / norm * g
+
+
+def convert_hf_wav2vec2(state_dict: Dict, config) -> Dict:
+    """HF Wav2Vec2Model/HubertModel/WavLMModel state_dict -> flax params for
+    models.ssl.wav2vec2.Wav2Vec2Model. Keys may carry a model prefix
+    (e.g. "wav2vec2.")."""
+    sd = {}
+    for k, v in state_dict.items():
+        for pref in ("wav2vec2.", "hubert.", "wavlm.", "model."):
+            if k.startswith(pref):
+                k = k[len(pref):]
+                break
+        sd[k] = v
+
+    p: Dict = {}
+    fe: Dict = {}
+    for i in range(len(config.conv_dim)):
+        w = _t(sd[f"feature_extractor.conv_layers.{i}.conv.weight"])
+        fe[f"conv_{i}_kernel"] = w.transpose(2, 1, 0)
+        if f"feature_extractor.conv_layers.{i}.conv.bias" in sd:
+            fe[f"conv_{i}_bias"] = _t(
+                sd[f"feature_extractor.conv_layers.{i}.conv.bias"]
+            )
+        ln = f"feature_extractor.conv_layers.{i}.layer_norm"
+        if f"{ln}.weight" in sd:
+            fe[f"norm_{i}"] = _layernorm(sd, ln)
+    p["feature_extractor"] = fe
+    p["feature_projection_norm"] = _layernorm(sd, "feature_projection.layer_norm")
+    p["feature_projection"] = _linear(sd, "feature_projection.projection")
+
+    pos_w = _fold_weight_norm(sd, "encoder.pos_conv_embed.conv")
+    p["pos_conv_embed"] = {
+        "kernel": pos_w.transpose(2, 1, 0),
+        "bias": _t(sd["encoder.pos_conv_embed.conv.bias"]),
+    }
+    p["encoder_layer_norm"] = _layernorm(sd, "encoder.layer_norm")
+
+    for i in range(config.num_layers):
+        pre = f"encoder.layers.{i}"
+        attn = {
+            "q_proj": _linear(sd, f"{pre}.attention.q_proj"),
+            "k_proj": _linear(sd, f"{pre}.attention.k_proj"),
+            "v_proj": _linear(sd, f"{pre}.attention.v_proj"),
+            "out_proj": _linear(sd, f"{pre}.attention.out_proj"),
+        }
+        if config.use_rel_pos_bias:
+            attn["gru_rel_pos_linear"] = _linear(
+                sd, f"{pre}.attention.gru_rel_pos_linear"
+            )
+            attn["gru_rel_pos_const"] = _t(
+                sd[f"{pre}.attention.gru_rel_pos_const"]
+            )
+            if f"{pre}.attention.rel_attn_embed.weight" in sd:
+                attn["rel_attn_embed"] = _t(
+                    sd[f"{pre}.attention.rel_attn_embed.weight"]
+                )
+        p[f"layers_{i}"] = {
+            "attention": attn,
+            "layer_norm": _layernorm(sd, f"{pre}.layer_norm"),
+            "intermediate_dense": _linear(sd, f"{pre}.feed_forward.intermediate_dense"),
+            "output_dense": _linear(sd, f"{pre}.feed_forward.output_dense"),
+            "final_layer_norm": _layernorm(sd, f"{pre}.final_layer_norm"),
+        }
+    return {"params": p}
+
+
+def convert_hf_llama_layers(state_dict: Dict, num_layers: int) -> Dict:
+    """HF LlamaModel layers/norm -> models.lm.LlamaBackbone params.
+    Accepts the CustomLlamaModel checkpoint layout (llm.py:74-77: keys
+    layers.{i}..., norm.weight)."""
+    sd = dict(state_dict)
+    p: Dict = {}
+    for i in range(num_layers):
+        pre = f"layers.{i}"
+        p[f"layers_{i}"] = {
+            "self_attn": {
+                "q_proj": _linear(sd, f"{pre}.self_attn.q_proj"),
+                "k_proj": _linear(sd, f"{pre}.self_attn.k_proj"),
+                "v_proj": _linear(sd, f"{pre}.self_attn.v_proj"),
+                "o_proj": _linear(sd, f"{pre}.self_attn.o_proj"),
+            },
+            "mlp": {
+                "gate_proj": _linear(sd, f"{pre}.mlp.gate_proj"),
+                "up_proj": _linear(sd, f"{pre}.mlp.up_proj"),
+                "down_proj": _linear(sd, f"{pre}.mlp.down_proj"),
+            },
+            "input_layernorm": {
+                "weight": _t(sd[f"{pre}.input_layernorm.weight"])
+            },
+            "post_attention_layernorm": {
+                "weight": _t(sd[f"{pre}.post_attention_layernorm.weight"])
+            },
+        }
+    p["norm"] = {"weight": _t(sd["norm.weight"])}
+    return p
+
+
+def convert_custom_llama(state_dict: Dict, cfg) -> Dict:
+    """Full CustomLlamaModel/LLM_SFT checkpoint -> models.lm params.
+
+    Maps codec_embedding/output_head plus the SFT extras (task_embedding,
+    enroll/mix sos embeddings, adapter) when present.
+    """
+    sd = {k.replace("dnn.", ""): v for k, v in state_dict.items()}
+    lm = {
+        "codec_embedding": {"embedding": _t(sd["codec_embedding.weight"])},
+        "backbone": convert_hf_llama_layers(
+            {k: v for k, v in sd.items()
+             if k.startswith("layers.") or k == "norm.weight"},
+            cfg.num_layers,
+        ),
+        "output_head": {"kernel": _t(sd["output_head.weight"]).T},
+    }
+    p = {"lm": lm}
+    if "task_embedding.weight" in sd:
+        p["task_embedding"] = {"embedding": _t(sd["task_embedding.weight"])}
+        p["enroll_sos_embedding"] = _t(sd["enroll_sos_embedding.weight"])
+        p["mix_sos_embedding"] = _t(sd["mix_sos_embedding.weight"])
+        p["adapter"] = _linear(sd, "adapter")
+        return {"params": p}
+    p["mix_sos_embedding"] = _t(sd["mix_sos_embedding.weight"])
+    return {"params": p}
