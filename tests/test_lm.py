@@ -185,3 +185,14 @@ class TestLLMSFT:
                        do_sample=False)
         np.testing.assert_array_equal(np.asarray(out1[0]), np.asarray(out2[0]))
         np.testing.assert_array_equal(np.asarray(out1[1]), np.asarray(out2[1]))
+
+
+class TestConformer:
+    def test_forward(self, key, rng):
+        from unified_audio_tpu.models.lm.conformer import ConformerEncoder
+
+        m = ConformerEncoder(num_layers=2, dim=32, heads=4, dim_head=8)
+        x = jnp.asarray(rng.standard_normal((2, 10, 32)).astype(np.float32))
+        y = m.apply(m.init(key, x), x)
+        assert y.shape == x.shape
+        assert np.isfinite(np.asarray(y)).all()
