@@ -16,6 +16,15 @@ import numpy as np
 
 def main():
     import jax
+
+    # persistent compilation cache: warmed executables survive across
+    # processes, so repeated bench runs skip the (remote) compile entirely
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from unified_audio_tpu.models.hcodec.codec import hcodec10_config

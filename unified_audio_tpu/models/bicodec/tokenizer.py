@@ -34,24 +34,25 @@ class BiCodecTokenizer:
         self.ssl = ssl_mod.Wav2Vec2Model(ssl_config)
         self.ssl_variables = ssl_variables
 
+        # variables are jit ARGUMENTS (not closures); see hcodec/tokenizer.py
         @jax.jit
-        def _features(wav):
-            hs = self.ssl.apply(self.ssl_variables, normalize_input(wav))
+        def _features(ssl_variables, wav):
+            hs = self.ssl.apply(ssl_variables, normalize_input(wav))
             return ssl_mod.xlsr_features(hs)
 
         @jax.jit
-        def _tokenize(feat, ref_wav):
-            return self.model.apply(self.variables, feat, ref_wav,
+        def _tokenize(variables, feat, ref_wav):
+            return self.model.apply(variables, feat, ref_wav,
                                     method="tokenize")
 
         @jax.jit
-        def _detokenize(semantic, global_):
-            return self.model.apply(self.variables, semantic, global_,
+        def _detokenize(variables, semantic, global_):
+            return self.model.apply(variables, semantic, global_,
                                     method="detokenize")
 
-        self._features = _features
-        self._tokenize = _tokenize
-        self._detokenize = _detokenize
+        self._features = lambda wav: _features(self.ssl_variables, wav)
+        self._tokenize = lambda feat, ref: _tokenize(self.variables, feat, ref)
+        self._detokenize = lambda sem, g: _detokenize(self.variables, sem, g)
 
     @classmethod
     def from_random(cls, key, config=None, ssl_config=None):

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ...nn.blocks import ConvNeXtBlock, ResnetBlock, SEANetEncoder
+from ...nn.blocks import ConvNeXtBlock, ConvNeXtStack, ResnetBlock, SEANetEncoder
 from ...nn.conv import CausalConv1d, SubPixelConvTranspose1d
 from ...nn.heads import ISTFTHead
 from ...nn.transformer import Transformer
@@ -70,13 +70,11 @@ class CodecDecoder10(nn.Module):
                                     causal=self.causal, name="embed")(x)
         x = PriorNet(self.dim, causal=self.causal, name="prior_net")(x)
         x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
-        for i in range(self.convnext_layers):
-            x = ConvNeXtBlock(
-                dim=self.dim, intermediate_dim=self.intermediate_dim,
-                causal=self.causal,
-                layer_scale_init_value=1 / self.convnext_layers,
-                name=f"post_{i}",
-            )(x)
+        x = ConvNeXtStack(
+            dim=self.dim, intermediate_dim=self.intermediate_dim,
+            num_layers=self.convnext_layers, causal=self.causal,
+            layer_scale_init_value=1 / self.convnext_layers, name="post_net",
+        )(x)
         x = nn.LayerNorm(epsilon=1e-6, name="final_layer_norm")(x)
         return ISTFTHead(self.n_fft, self.hop_length, name="head")(x)
 
@@ -109,13 +107,11 @@ class CodecEncoder20(nn.Module):
 
         h = CausalConv1d(self.dim, 3, causal=self.causal, name="embed")(h)
         h = nn.LayerNorm(epsilon=1e-6, name="norm")(h)
-        for i in range(self.convnext_layers):
-            h = ConvNeXtBlock(
-                dim=self.dim, intermediate_dim=self.intermediate_dim,
-                causal=self.causal,
-                layer_scale_init_value=1 / self.convnext_layers,
-                name=f"prior_{i}",
-            )(h)
+        h = ConvNeXtStack(
+            dim=self.dim, intermediate_dim=self.intermediate_dim,
+            num_layers=self.convnext_layers, causal=self.causal,
+            layer_scale_init_value=1 / self.convnext_layers, name="prior_net",
+        )(h)
         h = Transformer(
             hidden_size=self.dim,
             intermediate_size=min(self.dim * 4, 4096),
@@ -151,13 +147,11 @@ class CodecDecoder20(nn.Module):
         x = PriorNet(self.dim, transformer_layers=self.transformer_layers,
                      causal=self.causal, name="prior_net")(x)
         x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
-        for i in range(self.convnext_layers):
-            x = ConvNeXtBlock(
-                dim=self.dim, intermediate_dim=self.intermediate_dim,
-                causal=self.causal,
-                layer_scale_init_value=1 / self.convnext_layers,
-                name=f"post_{i}",
-            )(x)
+        x = ConvNeXtStack(
+            dim=self.dim, intermediate_dim=self.intermediate_dim,
+            num_layers=self.convnext_layers, causal=self.causal,
+            layer_scale_init_value=1 / self.convnext_layers, name="post_net",
+        )(x)
         x = nn.LayerNorm(epsilon=1e-6, name="final_layer_norm")(x)
         return ISTFTHead(self.n_fft, self.hop_length, name="head")(x)
 

@@ -41,28 +41,31 @@ class HCodecTokenizer:
         self.ssl_variables = ssl_variables
         self.hop_length = codec_config.hop_length
 
+        # variables are jit ARGUMENTS (not closures): closed-over weights get
+        # serialized into the HLO, which breaks remote-compile backends and
+        # bloats compile time
         @jax.jit
-        def _features(wav16k):
+        def _features(ssl_variables, wav16k):
             # |x|^0.3-compressed all-layer HuBERT mean (audio_tokenizer.py:35-48)
             padded = jnp.pad(wav16k, [(0, 0), (160, 160)])
-            hs = self.ssl.apply(self.ssl_variables, padded)
+            hs = self.ssl.apply(ssl_variables, padded)
             return ssl_mod.hubert_features(hs)
 
         @jax.jit
-        def _encode(wav, feats):
+        def _encode(codec_variables, wav, feats):
             return self.codec.apply(
-                self.codec_variables, wav[..., None], feats, method="encode"
+                codec_variables, wav[..., None], feats, method="encode"
             )
 
         @jax.jit
-        def _decode(acoustic, semantic):
+        def _decode(codec_variables, acoustic, semantic):
             return self.codec.apply(
-                self.codec_variables, acoustic, semantic, method="decode"
+                codec_variables, acoustic, semantic, method="decode"
             )
 
-        self._features = _features
-        self._encode = _encode
-        self._decode = _decode
+        self._features = lambda wav: _features(self.ssl_variables, wav)
+        self._encode = lambda wav, feats: _encode(self.codec_variables, wav, feats)
+        self._decode = lambda ac, sem: _decode(self.codec_variables, ac, sem)
 
     @classmethod
     def from_random(cls, key, codec_config=None, ssl_config=None):

@@ -102,7 +102,10 @@ class LlamaAttention(nn.Module):
         v = v.reshape(b, s, h, hd)
         q, k = apply_rope(q, k, cos, sin)
 
-        if cache_kv is not None:
+        # a zero-sized buffer means "no cache" (training full-forward path);
+        # shapes are static so this is a trace-time branch
+        has_cache = cache_kv is not None and cache_kv[0].size > 0
+        if has_cache:
             k_buf, v_buf = cache_kv
             k_buf = jax.lax.dynamic_update_slice(
                 k_buf, k.astype(k_buf.dtype), (0, cache_index, 0, 0)
@@ -113,7 +116,7 @@ class LlamaAttention(nn.Module):
             k, v = k_buf, v_buf
             new_cache = (k_buf, v_buf)
         else:
-            new_cache = None
+            new_cache = cache_kv
 
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * hd**-0.5
         if mask is not None:
@@ -158,15 +161,25 @@ class LlamaBackbone(nn.Module):
     * ``__call__(embeds)``: full causal forward (training) — one big attention.
     * ``prefill(embeds, cache)`` / ``decode_step(embeds, cache)``: static-cache
       incremental decode for lax.scan generation.
+
+    The layer stack is a single ``nn.scan`` over stacked parameters (leading
+    layer axis) — the HLO contains ONE layer body instead of num_layers
+    copies, which cuts compile time ~num_layers-fold (critical on
+    remote-compiled TPU backends) without changing the math.
     """
 
     cfg: LlamaConfig
 
     def setup(self):
-        self.layers = [
-            LlamaLayer(self.cfg, name=f"layers_{i}")
-            for i in range(self.cfg.num_layers)
-        ]
+        scan = nn.scan(
+            LlamaLayer,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, 0, nn.broadcast),
+            out_axes=0,
+            length=self.cfg.num_layers,
+        )
+        self.layers = scan(self.cfg, name="layers")
         self.norm = RMSNorm(self.cfg.hidden_size, name="norm")
 
     def __call__(self, embeds):
@@ -176,9 +189,11 @@ class LlamaBackbone(nn.Module):
         row = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
         mask = jnp.where(col <= row, 0.0, NEG_INF)[None, None]
-        x = embeds
-        for layer in self.layers:
-            x, _ = layer(x, mask, cos, sin)
+        dummy_cache = (
+            jnp.zeros((cfg.num_layers, 0, 0, 0, 0), embeds.dtype),
+            jnp.zeros((cfg.num_layers, 0, 0, 0, 0), embeds.dtype),
+        )
+        x, _ = self.layers(embeds, mask, cos, sin, dummy_cache, None)
         return self.norm(x)
 
     def _cached_forward(self, embeds, cache):
@@ -195,21 +210,10 @@ class LlamaBackbone(nn.Module):
         query_pos = positions[:, None]
         mask = jnp.where(key_pos <= query_pos, 0.0, NEG_INF)[None, None]
 
-        x = embeds
-        new_k, new_v = [], []
-        for li, layer in enumerate(self.layers):
-            x, (k_buf, v_buf) = layer(
-                x, mask, cos, sin,
-                cache_kv=(cache["k"][li], cache["v"][li]),
-                cache_index=idx,
-            )
-            new_k.append(k_buf)
-            new_v.append(v_buf)
-        new_cache = {
-            "k": jnp.stack(new_k),
-            "v": jnp.stack(new_v),
-            "index": idx + s,
-        }
+        x, (new_k, new_v) = self.layers(
+            embeds, mask, cos, sin, (cache["k"], cache["v"]), idx
+        )
+        new_cache = {"k": new_k, "v": new_v, "index": idx + s}
         return self.norm(x), new_cache
 
     def prefill(self, embeds, cache):

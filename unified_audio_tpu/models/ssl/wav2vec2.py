@@ -207,9 +207,27 @@ class SSLEncoderLayer(nn.Module):
         return x, position_bias
 
 
+class _ScanSSLLayer(nn.Module):
+    """nn.scan body: carry = hidden state, y = per-layer hidden state."""
+
+    config: SSLConfig
+
+    @nn.compact
+    def __call__(self, x, position_bias):
+        x, _ = SSLEncoderLayer(
+            self.config, has_relative_position_bias=False, name="layer"
+        )(x, position_bias)
+        return x, x
+
+
 class Wav2Vec2Model(nn.Module):
     """Full frozen SSL encoder. __call__(wav (B, T)) -> tuple of hidden states
-    (num_layers + 1 entries, HF layout: embeddings first)."""
+    (num_layers + 1 entries, HF layout: embeddings first).
+
+    Layers 1..N-1 run as one nn.scan over stacked params (single layer body in
+    the HLO — compile-time critical on remote-compiled TPU backends); layer 0
+    stays separate because it owns the WavLM relative-position-bias table.
+    """
 
     config: SSLConfig
 
@@ -226,12 +244,27 @@ class Wav2Vec2Model(nn.Module):
             h = nn.LayerNorm(epsilon=1e-5, name="encoder_layer_norm")(h)
 
         hidden_states = [h]
-        position_bias = None
-        for i in range(cfg.num_layers):
-            h, position_bias = SSLEncoderLayer(
-                cfg, has_relative_position_bias=(i == 0), name=f"layers_{i}"
-            )(h, position_bias)
-            hidden_states.append(h)
+        h, position_bias = SSLEncoderLayer(
+            cfg, has_relative_position_bias=True, name="layers_0"
+        )(h, None)
+        hidden_states.append(h)
+
+        if cfg.num_layers > 1:
+            scan = nn.scan(
+                _ScanSSLLayer,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=(nn.broadcast,),
+                out_axes=0,
+                length=cfg.num_layers - 1,
+            )
+            if position_bias is None:
+                position_bias = jnp.zeros((0,), h.dtype)  # empty pytree leaf
+            h, per_layer = scan(cfg, name="layers_rest")(h, position_bias)
+            hidden_states.extend(
+                per_layer[i] for i in range(cfg.num_layers - 1)
+            )
+
         if cfg.do_stable_layer_norm:
             h = nn.LayerNorm(epsilon=1e-5, name="encoder_layer_norm")(h)
             hidden_states[-1] = h

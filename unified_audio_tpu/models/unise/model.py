@@ -81,12 +81,12 @@ class UniSE:
         self.sft_params = sft_params
 
         @jax.jit
-        def _wavlm_feats(wav):
+        def _wavlm_feats(wavlm_variables, wav):
             padded = jnp.pad(wav, [(0, 0), (160, 160)])
-            hs = self.wavlm.apply(self.wavlm_variables, padded)
+            hs = self.wavlm.apply(wavlm_variables, padded)
             return ssl_mod.wavlm_features(hs)
 
-        self._wavlm_feats = _wavlm_feats
+        self._wavlm_feats = lambda wav: _wavlm_feats(self.wavlm_variables, wav)
 
         @partial(jax.jit, static_argnames=("task", "semantic_length", "do_sample"))
         def _generate(params, task, enroll_feats, mix_feats, rng,

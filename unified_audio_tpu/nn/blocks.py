@@ -95,6 +95,57 @@ class ConvNeXtBlock(nn.Module):
         return residual + x
 
 
+class _ScanConvNeXt(nn.Module):
+    """nn.scan body for homogeneous ConvNeXt stacks."""
+
+    dim: int
+    intermediate_dim: int
+    causal: bool
+    layer_scale_init_value: float
+    condition_dim: Optional[int]
+
+    @nn.compact
+    def __call__(self, x, cond):
+        x = ConvNeXtBlock(
+            dim=self.dim, intermediate_dim=self.intermediate_dim,
+            causal=self.causal,
+            layer_scale_init_value=self.layer_scale_init_value,
+            condition_dim=self.condition_dim, name="block",
+        )(x, cond if self.condition_dim is not None else None)
+        return x, ()
+
+
+class ConvNeXtStack(nn.Module):
+    """N identical ConvNeXt blocks as ONE nn.scan over stacked params —
+    a single layer body in the HLO instead of N copies (compile-time critical
+    for the 12/24/32-block stacks in the codec decoders)."""
+
+    dim: int
+    intermediate_dim: int
+    num_layers: int
+    causal: bool = False
+    layer_scale_init_value: float = 0.0
+    condition_dim: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x, cond=None):
+        scan = nn.scan(
+            _ScanConvNeXt,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=(nn.broadcast,),
+            out_axes=0,
+            length=self.num_layers,
+        )
+        if cond is None:
+            cond = jnp.zeros((0,), x.dtype)
+        x, _ = scan(
+            self.dim, self.intermediate_dim, self.causal,
+            self.layer_scale_init_value, self.condition_dim, name="stack",
+        )(x, cond)
+        return x
+
+
 # ---------------------------------------------------------------------------
 # GroupNorm Resnet / Attn blocks (HCodec vq/conv.py:259-338)
 # ---------------------------------------------------------------------------
@@ -288,14 +339,14 @@ class VocosBackbone(nn.Module):
         else:
             x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
         scale = self.layer_scale_init_value or 1.0 / self.num_layers
-        for i in range(self.num_layers):
-            x = ConvNeXtBlock(
-                dim=self.dim,
-                intermediate_dim=self.intermediate_dim,
-                layer_scale_init_value=scale,
-                condition_dim=self.condition_dim,
-                name=f"convnext_{i}",
-            )(x, condition)
+        x = ConvNeXtStack(
+            dim=self.dim,
+            intermediate_dim=self.intermediate_dim,
+            num_layers=self.num_layers,
+            layer_scale_init_value=scale,
+            condition_dim=self.condition_dim,
+            name="convnext",
+        )(x, condition)
         return nn.LayerNorm(epsilon=1e-6, name="final_layer_norm")(x)
 
 

@@ -60,14 +60,17 @@ def param_shardings(params, mesh: Mesh, rules=LM_RULES):
     specs = {path_str(kp): _spec_for(path_str(kp), rules) for kp, _ in flat}
 
     def to_sharding(kp, x):
-        spec = specs[path_str(kp)]
-        # drop axes that do not divide the dim evenly -> replicate that axis
+        spec = tuple(specs[path_str(kp)])
+        # right-align the spec so stacked (nn.scan) params with a leading
+        # layer axis keep sharding the same logical dims; drop axes that do
+        # not divide the dim evenly -> replicate that axis
+        if len(spec) < x.ndim:
+            spec = (None,) * (x.ndim - len(spec)) + spec
         fixed = []
-        for dim, s in zip(x.shape, spec):
+        for dim, s in zip(x.shape, spec[: x.ndim]):
             if s is not None and dim % mesh.shape[s] != 0:
                 s = None
             fixed.append(s)
-        fixed += [None] * (x.ndim - len(fixed))
         return NamedSharding(mesh, P(*fixed))
 
     return jax.tree_util.tree_map_with_path(to_sharding, params)

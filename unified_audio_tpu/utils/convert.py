@@ -89,7 +89,7 @@ def convert_hf_wav2vec2(state_dict: Dict, config) -> Dict:
     }
     p["encoder_layer_norm"] = _layernorm(sd, "encoder.layer_norm")
 
-    for i in range(config.num_layers):
+    def layer_params(i):
         pre = f"encoder.layers.{i}"
         attn = {
             "q_proj": _linear(sd, f"{pre}.attention.q_proj"),
@@ -108,12 +108,23 @@ def convert_hf_wav2vec2(state_dict: Dict, config) -> Dict:
                 attn["rel_attn_embed"] = _t(
                     sd[f"{pre}.attention.rel_attn_embed.weight"]
                 )
-        p[f"layers_{i}"] = {
+        return {
             "attention": attn,
             "layer_norm": _layernorm(sd, f"{pre}.layer_norm"),
             "intermediate_dense": _linear(sd, f"{pre}.feed_forward.intermediate_dense"),
             "output_dense": _linear(sd, f"{pre}.feed_forward.output_dense"),
             "final_layer_norm": _layernorm(sd, f"{pre}.final_layer_norm"),
+        }
+
+    # layer 0 separate (owns the WavLM rel-pos table); 1..N-1 stacked for the
+    # nn.scan stack
+    p["layers_0"] = layer_params(0)
+    if config.num_layers > 1:
+        import jax
+
+        rest = [layer_params(i) for i in range(1, config.num_layers)]
+        p["layers_rest"] = {
+            "layer": jax.tree_util.tree_map(lambda *xs: np.stack(xs), *rest)
         }
     return {"params": p}
 
@@ -121,12 +132,13 @@ def convert_hf_wav2vec2(state_dict: Dict, config) -> Dict:
 def convert_hf_llama_layers(state_dict: Dict, num_layers: int) -> Dict:
     """HF LlamaModel layers/norm -> models.lm.LlamaBackbone params.
     Accepts the CustomLlamaModel checkpoint layout (llm.py:74-77: keys
-    layers.{i}..., norm.weight)."""
+    layers.{i}..., norm.weight). The backbone is an nn.scan stack, so per-layer
+    tensors are stacked along a leading layer axis."""
     sd = dict(state_dict)
-    p: Dict = {}
+    per_layer = []
     for i in range(num_layers):
         pre = f"layers.{i}"
-        p[f"layers_{i}"] = {
+        per_layer.append({
             "self_attn": {
                 "q_proj": _linear(sd, f"{pre}.self_attn.q_proj"),
                 "k_proj": _linear(sd, f"{pre}.self_attn.k_proj"),
@@ -144,9 +156,11 @@ def convert_hf_llama_layers(state_dict: Dict, num_layers: int) -> Dict:
             "post_attention_layernorm": {
                 "weight": _t(sd[f"{pre}.post_attention_layernorm.weight"])
             },
-        }
-    p["norm"] = {"weight": _t(sd["norm.weight"])}
-    return p
+        })
+    import jax
+
+    stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *per_layer)
+    return {"layers": stacked, "norm": {"weight": _t(sd["norm.weight"])}}
 
 
 def convert_custom_llama(state_dict: Dict, cfg) -> Dict:
