@@ -274,3 +274,22 @@ class SpeakerEncoder(nn.Module):
     def detokenize(self, indices):
         zq = self.quantizer.get_output_from_indices(indices)
         return self.project(zq.reshape(zq.shape[0], -1))
+
+
+# ---------------------------------------------------------------------------
+# Alternative pooling heads (pooling_layers.py TAP/TSDP/TSTP; ASTP above)
+# ---------------------------------------------------------------------------
+
+def tap_pool(x):
+    """Temporal average pooling, (B, T, C) -> (B, C)."""
+    return jnp.mean(x, axis=-2)
+
+
+def tsdp_pool(x):
+    """Temporal standard-deviation pooling."""
+    return jnp.sqrt(jnp.var(x, axis=-2) + 1e-7)
+
+
+def tstp_pool(x):
+    """Temporal statistics pooling: [mean ‖ std] (x-vector standard)."""
+    return jnp.concatenate([tap_pool(x), tsdp_pool(x)], axis=-1)

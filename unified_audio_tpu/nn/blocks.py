@@ -503,3 +503,55 @@ class SEANetDecoder(nn.Module):
             pad_mode=self.pad_mode, weight_norm=self.weight_norm, name="conv_out",
         )(x)
         return x
+
+
+# ---------------------------------------------------------------------------
+# HiFiGAN ResBlock1 / Vocos ResNet backbone (vocos.py:113-254, 338-373)
+# ---------------------------------------------------------------------------
+
+class ResBlock1(nn.Module):
+    """Dilated HiFiGAN-V1 residual block without upsampling
+    (vocos.py:113-254): 3x (lrelu -> dilated WNConv -> lrelu -> WNConv),
+    optional per-branch layer scale."""
+
+    dim: int
+    kernel_size: int = 3
+    dilations: Tuple[int, int, int] = (1, 3, 5)
+    lrelu_slope: float = 0.1
+    layer_scale_init_value: Optional[float] = None
+
+    @nn.compact
+    def __call__(self, x):
+        for i, d in enumerate(self.dilations):
+            h = nn.leaky_relu(x, self.lrelu_slope)
+            h = Conv1d(self.dim, self.kernel_size, dilation=d,
+                       weight_norm=True, name=f"conv1_{i}")(h)
+            h = nn.leaky_relu(h, self.lrelu_slope)
+            h = Conv1d(self.dim, self.kernel_size, weight_norm=True,
+                       name=f"conv2_{i}")(h)
+            if self.layer_scale_init_value is not None:
+                gamma = self.param(
+                    f"gamma_{i}",
+                    nn.initializers.constant(self.layer_scale_init_value),
+                    (self.dim,),
+                )
+                h = gamma * h
+            x = x + h
+        return x
+
+
+class VocosResNetBackbone(nn.Module):
+    """WNConv embed + N ResBlock1 (vocos.py:338-373)."""
+
+    dim: int
+    num_blocks: int
+    layer_scale_init_value: Optional[float] = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = Conv1d(self.dim, 3, weight_norm=True, name="embed")(x)
+        scale = self.layer_scale_init_value or 1.0 / self.num_blocks / 3
+        for i in range(self.num_blocks):
+            x = ResBlock1(self.dim, layer_scale_init_value=scale,
+                          name=f"resnet_{i}")(x)
+        return x
