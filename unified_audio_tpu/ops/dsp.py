@@ -213,7 +213,9 @@ def melscale_fbanks(
     if norm == "slaney":
         enorm = 2.0 / (f_pts[2 : n_mels + 2] - f_pts[:n_mels])
         fb = fb * enorm[None, :]
-    return jnp.asarray(fb, dtype=jnp.float32)
+    # return host numpy: the lru_cache must never hold device arrays (a value
+    # created inside one jit trace would leak into later traces)
+    return fb.astype(np.float32)
 
 
 def stft_logmel(
@@ -331,7 +333,8 @@ def _resample_kernel(
     scale = base_freq / orig_freq
     kernels = np.where(t == 0, 1.0, np.sin(t) / np.where(t == 0, 1.0, t))
     kernels = kernels * window * scale
-    return jnp.asarray(kernels, dtype=jnp.float32), width, orig_freq, new_freq
+    # host numpy (see melscale_fbanks): cached device arrays leak tracers
+    return kernels.astype(np.float32), width, orig_freq, new_freq
 
 
 def resample(
