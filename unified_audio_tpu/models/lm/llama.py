@@ -241,10 +241,25 @@ def sample_logits(
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     if top_k > 0:
-        kth = jax.lax.top_k(logits, min(top_k, logits.shape[-1]))[0][..., -1:]
+        # fast path: top-p only needs the top-k entries (everything below the
+        # k-th is already filtered), so one lax.top_k (O(V)) replaces the
+        # full-vocab sort (O(V log V)) in the per-token decode loop
+        k = min(top_k, logits.shape[-1])
+        vals, _ = jax.lax.top_k(logits, k)  # sorted descending
+        kth = vals[..., -1:]
         logits = jnp.where(logits < kth, NEG_INF, logits)
-
-    if top_p < 1.0:
+        if top_p < 1.0:
+            cum = jnp.cumsum(jax.nn.softmax(vals, axis=-1), axis=-1)
+            remove_sorted = jnp.concatenate(
+                [jnp.zeros_like(cum[..., :1], bool), (cum > top_p)[..., :-1]],
+                axis=-1,
+            )
+            # threshold = smallest kept value; keep the first crossing token
+            kept_min = jnp.min(
+                jnp.where(remove_sorted, jnp.inf, vals), axis=-1, keepdims=True
+            )
+            logits = jnp.where(logits < kept_min, NEG_INF, logits)
+    elif top_p < 1.0:
         sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
         order = jnp.argsort(logits, axis=-1)[..., ::-1]
         cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
