@@ -46,10 +46,12 @@ class TestMesh:
             "/".join(str(getattr(k, "key", k)) for k in kp): v.spec
             for kp, v in flat
         }
+        # stacked (nn.scan) params carry a leading layer axis; specs are
+        # right-aligned so the logical dims keep their sharding
         qspec = [v for k, v in specs.items() if "q_proj" in k][0]
-        assert qspec == P(None, "tp")
+        assert qspec == P(None, None, "tp")
         ospec = [v for k, v in specs.items() if "o_proj" in k][0]
-        assert ospec == P("tp", None)
+        assert ospec == P(None, "tp", None)
 
 
 class TestSchedule:
