@@ -25,6 +25,7 @@ def main(batch_sizes=(1, 4, 8, 16)):
     from unified_audio_tpu.models.lm.llama import LlamaConfig
     from unified_audio_tpu.models.lm.sft import LLMSFT
     from unified_audio_tpu.utils.initialization import init_on_cpu
+    from unified_audio_tpu.utils.precision import bf16_params
 
     cfg = LlamaConfig()
     model = LLMSFT(cfg, num_tasks=3, feats_dim=768)
@@ -35,6 +36,7 @@ def main(batch_sizes=(1, 4, 8, 16)):
         np.zeros((1, t_feats, 768), np.float32),
         np.zeros((1, 32), np.int32), np.zeros((1, t_sem), np.int32),
     ))
+    params = bf16_params(params)  # TPU-native compute dtype
 
     from functools import partial
 
@@ -49,16 +51,17 @@ def main(batch_sizes=(1, 4, 8, 16)):
     for b in batch_sizes:
         feats = jnp.asarray(
             np.random.default_rng(0).standard_normal((b, t_feats, 768)),
-            dtype=jnp.float32,
+            dtype=jnp.bfloat16,
         )
-        g, s = generate(params, feats, jax.random.PRNGKey(0))
-        g.block_until_ready()  # compile
-        iters = 5
-        t0 = time.perf_counter()
-        for i in range(iters):
-            g, s = generate(params, feats, jax.random.PRNGKey(i))
-        s.block_until_ready()
-        dt = (time.perf_counter() - t0) / iters
+        # force host materialization: on the experimental axon backend
+        # block_until_ready returns early, so a fetch is the honest barrier
+        _ = np.asarray(generate(params, feats, jax.random.PRNGKey(0))[1])
+        times = []
+        for i in range(5):
+            t0 = time.perf_counter()
+            _ = np.asarray(generate(params, feats, jax.random.PRNGKey(i))[1])
+            times.append(time.perf_counter() - t0)
+        dt = sorted(times)[len(times) // 2]
         tokens = b * (33 + t_sem)
         results.append({
             "batch": b,
