@@ -45,9 +45,21 @@ def main():
         dtype=jnp.float32,
     )
 
+    # ONE fused program for the whole round trip (features + encode + RVQ +
+    # decode): a single dispatch instead of three, letting XLA overlap and
+    # fuse across stage boundaries
+    @jax.jit
+    def _fused(ssl_vars, codec_vars, w):
+        padded = jnp.pad(w, [(0, 0), (160, 160)])
+        from unified_audio_tpu.models.ssl.wav2vec2 import hubert_features
+
+        feats = hubert_features(tok.ssl.apply(ssl_vars, padded))
+        ac, sem = tok.codec.apply(codec_vars, w[..., None], feats,
+                                  method="encode")
+        return tok.codec.apply(codec_vars, ac, sem, method="decode")
+
     def roundtrip(w):
-        ac, sem = tok.tokenize(w)
-        return tok.detokenize(ac, sem)
+        return _fused(tok.ssl_variables, tok.codec_variables, w)
 
     # warmup / compile; force full host materialization — on the experimental
     # axon backend block_until_ready returns before execution finishes, so a

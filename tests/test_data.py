@@ -133,3 +133,28 @@ class TestDataModule:
             process_index=0, process_count=4,
         )
         assert len(it) == 2  # 16 // (4 * 2)
+
+
+class TestWatchdog:
+    def test_call_with_timeout(self):
+        import time
+        from unified_audio_tpu.utils.watchdog import TimeoutError_, call_with_timeout
+
+        assert call_with_timeout(lambda x: x + 1, 1.0, 41) == 42
+        with pytest.raises(TimeoutError_):
+            call_with_timeout(time.sleep, 0.1, 5.0)
+        with pytest.raises(ValueError):
+            call_with_timeout(lambda: (_ for _ in ()).throw(ValueError("x")), 1.0)
+
+    def test_watchdog_detects_stall(self):
+        import time
+        from unified_audio_tpu.utils.watchdog import Watchdog
+
+        events = []
+        with Watchdog(on_stall=lambda n, a: events.append(n),
+                      poll_interval=0.05) as wd:
+            hb = wd.register("producer", limit_seconds=0.1)
+            hb.beat()
+            time.sleep(0.4)  # no beats -> stall fires
+        assert "producer" in events
+        assert wd.stalls["producer"] >= 1
