@@ -13,7 +13,7 @@ class TestVQKernel:
         ref = np.asarray(quant.nearest_code(jnp.asarray(x), jnp.asarray(cb)))
         ours = np.asarray(
             vq_kernel.nearest_code_pallas(
-                jnp.asarray(x), jnp.asarray(cb), tile_m=256, interpret=True
+                jnp.asarray(x), jnp.asarray(cb), tile_m=1024, interpret=True
             )
         )
         np.testing.assert_array_equal(ours, ref)
@@ -22,7 +22,7 @@ class TestVQKernel:
         x = rng.standard_normal((2, 50, 32)).astype(np.float32)
         cb = rng.standard_normal((128, 32)).astype(np.float32)
         idx = vq_kernel.nearest_code_pallas(
-            jnp.asarray(x), jnp.asarray(cb), tile_m=128, interpret=True
+            jnp.asarray(x), jnp.asarray(cb), tile_m=1024, interpret=True
         )
         assert idx.shape == (2, 50)
 
@@ -39,6 +39,6 @@ class TestVQKernel:
             [variables["codebook"][f"layers_{i}"]["embed"] for i in range(3)]
         )
         ours = np.asarray(
-            vq_kernel.rvq_encode_pallas(x, cbs, tile_m=64, interpret=True)
+            vq_kernel.rvq_encode_pallas(x, cbs, tile_m=1024, interpret=True)
         )
         np.testing.assert_array_equal(ours, ref)

@@ -99,3 +99,25 @@ class TestSPMDTraining:
             assert np.isfinite(loss)
             losses.append(loss)
         assert tr.step == 3
+
+
+class TestPretrain:
+    def test_pretrain_steps(self, rng):
+        from unified_audio_tpu.models.lm.llama import LlamaConfig
+        from unified_audio_tpu.train.optim import make_optimizer
+        from unified_audio_tpu.train.pretrain import PretrainTrainer
+
+        cfg = LlamaConfig(global_size=16, semantic_size=32, hidden_size=32,
+                          num_layers=2, num_heads=4)
+        mesh = mesh_lib.make_mesh(tp=2)
+        tr = PretrainTrainer(cfg, jax.random.PRNGKey(0),
+                             optimizer=make_optimizer(warmup_steps=2),
+                             mesh=mesh)
+        losses = []
+        for i in range(3):
+            g = jnp.asarray(rng.integers(0, 16, (8, 4)))
+            s = jnp.asarray(rng.integers(0, 32, (8, 12)))
+            loss, acc = tr.train_step(g, s)
+            assert np.isfinite(loss)
+            losses.append(loss)
+        assert tr.step == 3

@@ -24,7 +24,9 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _nn_kernel(x_ref, cbsq_ref, cb_ref, idx_ref):
-    """One grid step: x tile (TM, D), codebook (N, D) -> indices (TM,)."""
+    """One grid step: x tile (TM, D), codebook (N, D) -> indices (TM/128, 128).
+
+    Output is lane-aligned 2-D (Mosaic rejects 1-D int tiles)."""
     x = x_ref[:]  # (TM, D)
     cb = cb_ref[:]  # (N, D)
     # dist = |e|^2 - 2 x.e  (|x|^2 constant in argmin)
@@ -35,14 +37,15 @@ def _nn_kernel(x_ref, cbsq_ref, cb_ref, idx_ref):
         preferred_element_type=jnp.float32,
     )  # (TM, N)
     dist = cbsq_ref[:] - 2.0 * dots
-    idx_ref[:] = jnp.argmin(dist, axis=-1).astype(jnp.int32)
+    idx = jnp.argmin(dist, axis=-1).astype(jnp.int32)  # (TM,)
+    idx_ref[:] = idx.reshape(idx_ref.shape)
 
 
 @functools.partial(jax.jit, static_argnames=("tile_m", "interpret"))
 def nearest_code_pallas(
     x: jnp.ndarray,
     codebook: jnp.ndarray,
-    tile_m: int = 512,
+    tile_m: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """argmin_j ||x_i - e_j||^2. x (..., D), codebook (N, D) -> (...,) int32.
@@ -53,17 +56,21 @@ def nearest_code_pallas(
     batch_shape = x.shape[:-1]
     d = x.shape[-1]
     n = codebook.shape[0]
+    # Mosaic tiling: output blocks are (tile_m/128, 128) int32; the sublane
+    # count must be a multiple of 8 -> tile_m multiple of 1024
+    tile_m = max(1024, _round_up(tile_m, 1024))
     flat = x.reshape(-1, d)
     m = flat.shape[0]
-    m_pad = _round_up(max(m, 8), tile_m)
+    m_pad = _round_up(max(m, 128), tile_m)
     if m_pad != m:
         flat = jnp.pad(flat, ((0, m_pad - m), (0, 0)))
     cbsq = jnp.sum(codebook.astype(jnp.float32) ** 2, axis=-1)[None, :]  # (1, N)
 
+    rows = tile_m // 128
     grid = (m_pad // tile_m,)
     out = pl.pallas_call(
         _nn_kernel,
-        out_shape=jax.ShapeDtypeStruct((m_pad,), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((m_pad // 128, 128), jnp.int32),
         grid_spec=pl.GridSpec(
             grid=grid,
             in_specs=[
@@ -71,7 +78,8 @@ def nearest_code_pallas(
                 pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((n, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((tile_m,), lambda i: (i,), memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec((rows, 128), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -80,7 +88,7 @@ def nearest_code_pallas(
             transcendentals=0,
         ),
     )(flat, cbsq, codebook)
-    return out[:m].reshape(batch_shape)
+    return out.reshape(-1)[:m].reshape(batch_shape)
 
 
 def rvq_encode_pallas(x, codebooks, tile_m: int = 512, interpret: bool = False):
