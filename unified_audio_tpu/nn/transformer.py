@@ -85,9 +85,10 @@ class GatedMLP(nn.Module):
 
 class MoE(nn.Module):
     """Routed experts + shared expert, softmax top-k gate with bias
-    (transformer.py:230-336). Dense dispatch: every expert computes every token
-    and a one-hot gate mask selects — static shapes, MXU-batched; expert
-    parallelism shards the expert axis (see parallel/)."""
+    (transformer.py:230-336). Experts are STACKED parameters (E, ...) computed
+    with one batched einsum per projection — static shapes, MXU-batched, and
+    the expert axis shards directly for expert parallelism
+    (parallel/mesh.py EP rules shard axis 0 of expert_w1/w2/w3)."""
 
     inter_dim: int
     n_routed_experts: int = 3
@@ -99,30 +100,35 @@ class MoE(nn.Module):
     @nn.compact
     def __call__(self, x):
         dim = x.shape[-1]
-        scores = nn.Dense(self.n_routed_experts, use_bias=False, name="gate_linear")(x)
+        e, inter = self.n_routed_experts, self.inter_dim
+        scores = nn.Dense(e, use_bias=False, name="gate_linear")(x)
         if self.score_func == "softmax":
             scores = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
         else:
             scores = jax.nn.sigmoid(scores)
         original_scores = scores
-        gate_bias = self.param(
-            "gate_bias", nn.initializers.zeros, (self.n_routed_experts,)
-        )
+        gate_bias = self.param("gate_bias", nn.initializers.zeros, (e,))
         scores = scores + gate_bias
         # top-k selection -> dense one-hot combine weights
         _, top_idx = jax.lax.top_k(scores, self.n_activated_experts)
-        onehot = jax.nn.one_hot(top_idx, self.n_routed_experts, dtype=x.dtype)
+        onehot = jax.nn.one_hot(top_idx, e, dtype=x.dtype)
         weights = (
             jnp.sum(onehot * original_scores[..., None, :].astype(x.dtype), axis=-1)
         )  # (..., k)
         if self.score_func == "sigmoid":
             weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
         weights = weights * self.route_scale
-        combine = jnp.sum(onehot * weights[..., None], axis=-2)  # (..., n_experts)
+        combine = jnp.sum(onehot * weights[..., None], axis=-2)  # (..., E)
 
-        y = jnp.zeros_like(x)
-        for e in range(self.n_routed_experts):
-            y = y + GatedMLP(self.inter_dim, name=f"expert_{e}")(x) * combine[..., e : e + 1]
+        init = nn.initializers.lecun_normal()
+        w1 = self.param("expert_w1", init, (e, dim, inter))
+        w3 = self.param("expert_w3", init, (e, dim, inter))
+        w2 = self.param("expert_w2", init, (e, inter, dim))
+        h = jax.nn.silu(jnp.einsum("...d,edi->...ei", x, w1)) * jnp.einsum(
+            "...d,edi->...ei", x, w3
+        )  # (..., E, I)
+        y_e = jnp.einsum("...ei,eid->...ed", h, w2)  # (..., E, D)
+        y = jnp.einsum("...ed,...e->...d", y_e, combine)
         z = GatedMLP(self.n_shared_experts * self.inter_dim, name="shared_expert")(x)
         return y + z
 

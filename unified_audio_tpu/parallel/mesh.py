@@ -38,6 +38,9 @@ LM_RULES: Sequence = (
     (r".*mlp/down_proj/kernel", P("tp", None)),
     (r".*output_head/kernel", P(None, "tp")),
     (r".*codec_embedding/embedding", P(None, "tp")),
+    # expert parallelism: stacked expert weights (E, in, out) shard their
+    # expert axis over the model-parallel mesh axis
+    (r".*expert_w\d", P("tp", None, None)),
 )
 
 
