@@ -158,3 +158,15 @@ class TestWatchdog:
             time.sleep(0.4)  # no beats -> stall fires
         assert "producer" in events
         assert wd.stalls["producer"] >= 1
+
+
+def test_metrics_logger(tmp_path):
+    import json as _json
+    from unified_audio_tpu.utils.logging import MetricsLogger
+
+    p = tmp_path / "m.jsonl"
+    with MetricsLogger(p, echo=False) as log:
+        log.log(1, loss=2.5, acc=0.5)
+        log.log(2, loss=2.0, acc=0.6)
+    lines = [_json.loads(l) for l in p.read_text().splitlines()]
+    assert lines[0]["step"] == 1 and lines[1]["loss"] == 2.0
