@@ -207,3 +207,48 @@ class TestBiCodecConverter:
         sem2, glob2 = m.apply(variables, feat, wav, method="tokenize")
         np.testing.assert_array_equal(np.asarray(sem), np.asarray(sem2))
         np.testing.assert_array_equal(np.asarray(glob), np.asarray(glob2))
+
+
+class TestHCodecConverter:
+    def test_roundtrip_and_runs(self, rng):
+        """convert(export(init)) is forward-identical: encode/decode token IDs
+        and waveforms match the original tree exactly."""
+        from unified_audio_tpu.models.hcodec.codec import HCodec
+        from unified_audio_tpu.utils.convert_hcodec import (
+            convert_hcodec10, export_hcodec10_state_dict,
+        )
+        from tests.test_hcodec import small10
+
+        cfg = small10()
+        m = HCodec(cfg)
+        L = 640 * 4
+        wav = jnp.asarray(rng.standard_normal((1, L, 1)).astype(np.float32))
+        feat = jnp.asarray(
+            rng.standard_normal((1, L // 320, cfg.feat_dim)).astype(np.float32)
+        )
+        variables = m.init(
+            {"params": jax.random.PRNGKey(0), "quant": jax.random.PRNGKey(1)},
+            wav, feat, train=False,
+        )
+        sd = export_hcodec10_state_dict(variables, cfg)
+        assert len(sd) > 150
+        back = convert_hcodec10(sd, cfg)
+
+        # structural coverage (weight-norm pairs compared folded)
+        ref_flat = {jax.tree_util.keystr(k): v for k, v in
+                    jax.tree_util.tree_flatten_with_path(
+                        {"params": variables["params"],
+                         "codebook": variables["codebook"]})[0]}
+        back_flat = {jax.tree_util.keystr(k): v for k, v in
+                     jax.tree_util.tree_flatten_with_path(back)[0]}
+        assert not set(ref_flat) - set(back_flat), \
+            sorted(set(ref_flat) - set(back_flat))[:5]
+
+        ac1, sem1 = m.apply(variables, wav, feat, method="encode")
+        ac2, sem2 = m.apply(back, wav, feat, method="encode")
+        np.testing.assert_array_equal(np.asarray(ac1), np.asarray(ac2))
+        np.testing.assert_array_equal(np.asarray(sem1), np.asarray(sem2))
+        rec1 = m.apply(variables, ac1, sem1, method="decode")
+        rec2 = m.apply(back, ac1, sem1, method="decode")
+        np.testing.assert_allclose(np.asarray(rec1), np.asarray(rec2),
+                                   atol=1e-5)

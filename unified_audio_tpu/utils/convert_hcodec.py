@@ -1,0 +1,363 @@
+"""HCodec-1.0 weights.pt (torch Codec state dict) -> this framework's tree,
+plus the inverse exporter used for round-trip testing.
+
+Key layout follows the reference module structure: the SEANet encoder
+sequential (seanet.py:121-187: conv_in at model.0, per-ratio [res, ELU, down]
+triplets, transformer at model.14, final stride-2 conv at model.17), the
+vq-pytorch ResidualVQ codebooks (layers.{i}._codebook.{embed, embed_avg,
+cluster_size, initted}, embed stored (1, N, D)), the semantic conv stacks
+(semantic_module.py), and the ConvNeXt/ISTFT decoder (codec_decoder.py:14-67).
+Weight norm folds into our v/g parametrization (forward-identical).
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+from .convert import _fold_weight_norm, _layernorm, _linear, _t
+from .convert_bicodec import _wn_split
+
+
+def _sconv(sd, prefix):
+    """EnCodec SConv1d: {prefix}.conv.conv (weight-normed)."""
+    w = _fold_weight_norm(sd, f"{prefix}.conv.conv")
+    out = _wn_split(w.transpose(2, 1, 0))
+    if f"{prefix}.conv.conv.bias" in sd:
+        out["bias"] = _t(sd[f"{prefix}.conv.conv.bias"])
+    return out
+
+
+def _hconv(sd, prefix, wrapped=True, bias=True):
+    """HCodec constant-pad Conv1d wrapper: {prefix}.conv (plain)."""
+    key = f"{prefix}.conv" if wrapped else prefix
+    out = {"kernel": _t(sd[f"{key}.weight"]).transpose(2, 1, 0)}
+    if bias and f"{key}.bias" in sd:
+        out["bias"] = _t(sd[f"{key}.bias"])
+    return out
+
+
+def _groupnorm(sd, prefix):
+    return {"scale": _t(sd[f"{prefix}.weight"]), "bias": _t(sd[f"{prefix}.bias"])}
+
+
+def _lstm(sd, prefix, num_layers=1):
+    p = {}
+    for l in range(num_layers):
+        p[f"w_ih_l{l}"] = _t(sd[f"{prefix}.weight_ih_l{l}"]).T
+        p[f"w_hh_l{l}"] = _t(sd[f"{prefix}.weight_hh_l{l}"]).T
+        p[f"b_ih_l{l}"] = _t(sd[f"{prefix}.bias_ih_l{l}"])
+        p[f"b_hh_l{l}"] = _t(sd[f"{prefix}.bias_hh_l{l}"])
+    return p
+
+
+def _hybrid_transformer(sd, prefix, num_layers=2):
+    p = {}
+    for i in range(num_layers):
+        lp = f"{prefix}.layers.{i}"
+        p[f"layers_{i}"] = {
+            "self_attn": {
+                "rnn": _lstm(sd, f"{lp}.self_attn.rnn"),
+                "q_proj": _linear(sd, f"{lp}.self_attn.q_proj"),
+                "k_proj": _linear(sd, f"{lp}.self_attn.k_proj"),
+                "v_proj": _linear(sd, f"{lp}.self_attn.v_proj"),
+                "o_proj": _linear(sd, f"{lp}.self_attn.o_proj"),
+            },
+            "mlp": {
+                "w1": _linear(sd, f"{lp}.mlp.w1"),
+                "w2": _linear(sd, f"{lp}.mlp.w2"),
+                "w3": _linear(sd, f"{lp}.mlp.w3"),
+            },
+            "input_layernorm": {"weight": _t(sd[f"{lp}.input_layernorm.weight"])},
+            "post_attention_layernorm": {
+                "weight": _t(sd[f"{lp}.post_attention_layernorm.weight"])
+            },
+        }
+    return p
+
+
+def _seanet_encoder(sd, prefix, n_ratios=4):
+    p = {"conv_in": _sconv(sd, f"{prefix}.model.0")}
+    for i in range(n_ratios):
+        res = f"{prefix}.model.{1 + 3 * i}"
+        p[f"res_{i}_0"] = {
+            "block_0": _sconv(sd, f"{res}.block.1"),
+            "block_1": _sconv(sd, f"{res}.block.3"),
+            "shortcut": _sconv(sd, f"{res}.shortcut"),
+        }
+        p[f"down_{i}"] = _sconv(sd, f"{prefix}.model.{3 + 3 * i}")
+    p["transformer"] = _hybrid_transformer(sd, f"{prefix}.model.{2 + 3 * n_ratios}")
+    p["conv_out"] = _sconv(sd, f"{prefix}.model.{5 + 3 * n_ratios}")
+    return p
+
+
+def _rvq(sd, prefix, num_quantizers=4):
+    """vq-pytorch ResidualVQ buffers -> our 'codebook' collection."""
+    out = {}
+    for i in range(num_quantizers):
+        cb = f"{prefix}.layers.{i}._codebook"
+        embed = _t(sd[f"{cb}.embed"])
+        if embed.ndim == 3:  # vq-pytorch stores (num_codebooks=1, N, D)
+            embed = embed[0]
+        embed_avg = _t(sd[f"{cb}.embed_avg"])
+        if embed_avg.ndim == 3:
+            embed_avg = embed_avg[0]
+        cluster = _t(sd[f"{cb}.cluster_size"]).reshape(-1)
+        init_key = (f"{cb}.initted" if f"{cb}.initted" in sd else f"{cb}.inited")
+        out[f"layers_{i}"] = {
+            "embed": embed,
+            "embed_avg": embed_avg,
+            "cluster_size": cluster,
+            "inited": _t(sd[init_key]).reshape(()).astype(np.float32),
+        }
+    return out
+
+
+def _semantic_residual_unit(sd, prefix):
+    return {
+        "conv1": _hconv(sd, f"{prefix}.conv1", bias=False),
+        "conv2": {"kernel": _t(sd[f"{prefix}.conv2.weight"]).transpose(2, 1, 0)},
+    }
+
+
+def _semantic_encoder(sd, prefix, strides=(2, 1)):
+    p = {"conv": _hconv(sd, f"{prefix}.conv", bias=False)}
+    for i, _ in enumerate(strides):
+        bp = f"{prefix}.conv_blocks.{i}"
+        p[f"block_{i}"] = {
+            "res_0": _semantic_residual_unit(sd, f"{bp}.res_units.0"),
+            "res_1": _semantic_residual_unit(sd, f"{bp}.res_units.1"),
+            "conv": _hconv(sd, f"{bp}.conv"),
+        }
+    p["conv2"] = _hconv(sd, f"{prefix}.conv2", bias=False)
+    return p
+
+
+def _semantic_decoder(sd, prefix, strides=(2, 1)):
+    p = {"conv1": _hconv(sd, f"{prefix}.conv1", bias=False)}
+    for i, stride in enumerate(strides):
+        bp = f"{prefix}.conv_blocks.{i}"
+        if stride == 1:
+            conv = _hconv(sd, f"{bp}.conv")
+        else:  # torch ConvTranspose1d wrapper .deconv, weight (in, out, K)
+            conv = {"kernel": _t(sd[f"{bp}.conv.deconv.weight"]).transpose(2, 0, 1),
+                    "bias": _t(sd[f"{bp}.conv.deconv.bias"])}
+        p[f"block_{i}"] = {
+            "conv": conv,
+            "res_0": _semantic_residual_unit(sd, f"{bp}.res_units.0"),
+            "res_1": _semantic_residual_unit(sd, f"{bp}.res_units.1"),
+        }
+    p["conv2"] = _hconv(sd, f"{prefix}.conv2", bias=False)
+    return p
+
+
+def _resnet_block(sd, prefix):
+    return {
+        "norm1": _groupnorm(sd, f"{prefix}.norm1"),
+        "conv1": _hconv(sd, f"{prefix}.conv1"),
+        "norm2": _groupnorm(sd, f"{prefix}.norm2"),
+        "conv2": _hconv(sd, f"{prefix}.conv2"),
+    }
+
+
+def _convnext_block_h(sd, prefix):
+    return {
+        "dwconv": _hconv(sd, f"{prefix}.dwconv"),
+        "norm": _layernorm(sd, f"{prefix}.norm"),
+        "pwconv1": _linear(sd, f"{prefix}.pwconv1.linear"),
+        "pwconv2": _linear(sd, f"{prefix}.pwconv2.linear"),
+        "gamma": _t(sd[f"{prefix}.gamma"]),
+    }
+
+
+def _codec_decoder(sd, prefix, convnext_layers=12):
+    import jax
+
+    p = {
+        "embed": {
+            "up_kernel": _t(sd[f"{prefix}.embed.up.weight"]).transpose(2, 1, 0),
+            "up_bias": _t(sd[f"{prefix}.embed.up.bias"]),
+            "dw_kernel": _t(sd[f"{prefix}.embed.dw.weight"]).transpose(2, 1, 0),
+            "bias": _t(sd[f"{prefix}.embed.dw.bias"]),
+        },
+        "prior_net": {
+            "res0": _resnet_block(sd, f"{prefix}.prior_net.0"),
+            "res1": _resnet_block(sd, f"{prefix}.prior_net.1"),
+            "transformer": _hybrid_transformer(sd, f"{prefix}.prior_net.3"),
+            "res2": _resnet_block(sd, f"{prefix}.prior_net.5"),
+            "res3": _resnet_block(sd, f"{prefix}.prior_net.6"),
+            "norm_out": _groupnorm(sd, f"{prefix}.prior_net.7"),
+        },
+        "norm": _layernorm(sd, f"{prefix}.norm"),
+        "final_layer_norm": _layernorm(sd, f"{prefix}.final_layer_norm"),
+        "head": {"out": _linear(sd, f"{prefix}.head.out")},
+    }
+    blocks = [
+        _convnext_block_h(sd, f"{prefix}.post_net.{i}")
+        for i in range(convnext_layers)
+    ]
+    p["post_net"] = {"stack": {"block": jax.tree_util.tree_map(
+        lambda *xs: np.stack(xs), *blocks
+    )}}
+    return p
+
+
+def convert_hcodec10(state_dict: Dict, cfg) -> Dict:
+    """weights.pt -> {"params": ..., "codebook": ...} for models.hcodec.HCodec."""
+    sd = dict(state_dict)
+    params = {
+        "encoder": _seanet_encoder(sd, "encoder"),
+        "semantic_encoder": _semantic_encoder(sd, "semantic_encoder",
+                                              cfg.semantic_strides),
+        "semantic_decoder": _semantic_decoder(sd, "semantic_decoder",
+                                              cfg.semantic_strides),
+        "decoder": _codec_decoder(sd, "decoder", cfg.decoder_convnext_layers),
+    }
+    codebook = {
+        "quantizer": _rvq(sd, "quantizer", cfg.num_quantizers),
+        "semantic_quantizer": _rvq(sd, "semantic_quantizer",
+                                   cfg.num_quantizers),
+    }
+    return {"params": params, "codebook": codebook}
+
+
+# ---------------------------------------------------------------------------
+# Inverse exporter (torch-style state dict from our tree) for round-trip tests
+# ---------------------------------------------------------------------------
+
+from .convert_bicodec import _folded  # noqa: E402
+
+
+def _inv_sconv(p, prefix, out):
+    out[f"{prefix}.conv.conv.weight"] = _folded(p).transpose(2, 1, 0)
+    if "bias" in p:
+        out[f"{prefix}.conv.conv.bias"] = np.asarray(p["bias"])
+
+
+def _inv_hconv(p, prefix, out, wrapped=True):
+    key = f"{prefix}.conv" if wrapped else prefix
+    out[f"{key}.weight"] = np.asarray(p["kernel"]).transpose(2, 1, 0)
+    if "bias" in p:
+        out[f"{key}.bias"] = np.asarray(p["bias"])
+
+
+def _inv_linear(p, prefix, out):
+    out[f"{prefix}.weight"] = np.asarray(p["kernel"]).T
+    if "bias" in p:
+        out[f"{prefix}.bias"] = np.asarray(p["bias"])
+
+
+def _inv_gn(p, prefix, out):
+    out[f"{prefix}.weight"] = np.asarray(p["scale"])
+    out[f"{prefix}.bias"] = np.asarray(p["bias"])
+
+
+def _inv_lstm(p, prefix, out):
+    for name, v in p.items():
+        if name.startswith("w_"):
+            out[f"{prefix}.{name.replace('w_', 'weight_')}"] = np.asarray(v).T
+        else:
+            out[f"{prefix}.{name.replace('b_', 'bias_')}"] = np.asarray(v)
+
+
+def _inv_transformer(p, prefix, out):
+    for name, layer in p.items():
+        i = name.split("_")[1]
+        lp = f"{prefix}.layers.{i}"
+        _inv_lstm(layer["self_attn"]["rnn"], f"{lp}.self_attn.rnn", out)
+        for proj in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            _inv_linear(layer["self_attn"][proj], f"{lp}.self_attn.{proj}", out)
+        for w in ("w1", "w2", "w3"):
+            _inv_linear(layer["mlp"][w], f"{lp}.mlp.{w}", out)
+        out[f"{lp}.input_layernorm.weight"] = np.asarray(
+            layer["input_layernorm"]["weight"])
+        out[f"{lp}.post_attention_layernorm.weight"] = np.asarray(
+            layer["post_attention_layernorm"]["weight"])
+
+
+def _inv_semantic_unit(p, prefix, out):
+    _inv_hconv(p["conv1"], f"{prefix}.conv1", out)
+    out[f"{prefix}.conv2.weight"] = np.asarray(
+        p["conv2"]["kernel"]).transpose(2, 1, 0)
+
+
+def export_hcodec10_state_dict(variables, cfg) -> Dict[str, np.ndarray]:
+    p = variables["params"]
+    cb = variables["codebook"]
+    out: Dict[str, np.ndarray] = {}
+
+    enc = p["encoder"]
+    _inv_sconv(enc["conv_in"], "encoder.model.0", out)
+    for i in range(4):
+        res = f"encoder.model.{1 + 3 * i}"
+        _inv_sconv(enc[f"res_{i}_0"]["block_0"], f"{res}.block.1", out)
+        _inv_sconv(enc[f"res_{i}_0"]["block_1"], f"{res}.block.3", out)
+        _inv_sconv(enc[f"res_{i}_0"]["shortcut"], f"{res}.shortcut", out)
+        _inv_sconv(enc[f"down_{i}"], f"encoder.model.{3 + 3 * i}", out)
+    _inv_transformer(enc["transformer"], "encoder.model.14", out)
+    _inv_sconv(enc["conv_out"], "encoder.model.17", out)
+
+    for qname in ("quantizer", "semantic_quantizer"):
+        for lname, layer in cb[qname].items():
+            i = lname.split("_")[1]
+            pre = f"{qname}.layers.{i}._codebook"
+            out[f"{pre}.embed"] = np.asarray(layer["embed"])[None]
+            out[f"{pre}.embed_avg"] = np.asarray(layer["embed_avg"])[None]
+            out[f"{pre}.cluster_size"] = np.asarray(layer["cluster_size"])[None]
+            out[f"{pre}.initted"] = np.asarray(layer["inited"]).reshape(1)
+
+    for sname, conv_fn in (("semantic_encoder", None), ("semantic_decoder", None)):
+        sp = p[sname]
+        first = "conv" if sname == "semantic_encoder" else "conv1"
+        _inv_hconv(sp[first], f"{sname}.{first}", out)
+        for i, stride in enumerate(cfg.semantic_strides):
+            bp = f"{sname}.conv_blocks.{i}"
+            block = sp[f"block_{i}"]
+            if sname == "semantic_decoder" and stride > 1:
+                k = np.asarray(block["conv"]["kernel"]).transpose(1, 2, 0)
+                out[f"{bp}.conv.deconv.weight"] = k
+                out[f"{bp}.conv.deconv.bias"] = np.asarray(block["conv"]["bias"])
+            else:
+                _inv_hconv(block["conv"], f"{bp}.conv", out)
+            _inv_semantic_unit(block["res_0"], f"{bp}.res_units.0", out)
+            _inv_semantic_unit(block["res_1"], f"{bp}.res_units.1", out)
+        _inv_hconv(sp["conv2"], f"{sname}.conv2", out)
+
+    dec = p["decoder"]
+    out["decoder.embed.up.weight"] = np.asarray(
+        dec["embed"]["up_kernel"]).transpose(2, 1, 0)
+    out["decoder.embed.up.bias"] = np.asarray(dec["embed"]["up_bias"])
+    out["decoder.embed.dw.weight"] = np.asarray(
+        dec["embed"]["dw_kernel"]).transpose(2, 1, 0)
+    out["decoder.embed.dw.bias"] = np.asarray(dec["embed"]["bias"])
+    pn = dec["prior_net"]
+    for ours, theirs in (("res0", 0), ("res1", 1), ("res2", 5), ("res3", 6)):
+        rp = f"decoder.prior_net.{theirs}"
+        _inv_gn(pn[ours]["norm1"], f"{rp}.norm1", out)
+        _inv_hconv(pn[ours]["conv1"], f"{rp}.conv1", out)
+        _inv_gn(pn[ours]["norm2"], f"{rp}.norm2", out)
+        _inv_hconv(pn[ours]["conv2"], f"{rp}.conv2", out)
+    _inv_transformer(pn["transformer"], "decoder.prior_net.3", out)
+    _inv_gn(pn["norm_out"], "decoder.prior_net.7", out)
+    out["decoder.norm.weight"] = np.asarray(dec["norm"]["scale"])
+    out["decoder.norm.bias"] = np.asarray(dec["norm"]["bias"])
+    out["decoder.final_layer_norm.weight"] = np.asarray(
+        dec["final_layer_norm"]["scale"])
+    out["decoder.final_layer_norm.bias"] = np.asarray(
+        dec["final_layer_norm"]["bias"])
+    _inv_linear(dec["head"]["out"], "decoder.head.out", out)
+
+    import jax
+
+    stacked = dec["post_net"]["stack"]["block"]
+    n = np.asarray(stacked["norm"]["scale"]).shape[0]
+    for i in range(n):
+        blk = jax.tree_util.tree_map(lambda x: np.asarray(x)[i], stacked)
+        bp = f"decoder.post_net.{i}"
+        _inv_hconv(blk["dwconv"], f"{bp}.dwconv", out)
+        out[f"{bp}.norm.weight"] = blk["norm"]["scale"]
+        out[f"{bp}.norm.bias"] = blk["norm"]["bias"]
+        _inv_linear(blk["pwconv1"], f"{bp}.pwconv1.linear", out)
+        _inv_linear(blk["pwconv2"], f"{bp}.pwconv2.linear", out)
+        out[f"{bp}.gamma"] = blk["gamma"]
+    return out
