@@ -54,6 +54,16 @@ def cmd_train_unise(args):
     ))
     ckpt = CheckpointManager(cfg.get("ckpt_dir", "./checkpoints"))
 
+    # elastic resume: restart from the latest checkpoint automatically
+    # (reference: resume key -> trainer.fit(ckpt_path), train.py:38)
+    last = ckpt.latest_step()
+    if last is not None:
+        restored = ckpt.restore(last, template={"params": trainer.params})
+        trainer.params = restored["params"]
+        trainer.unise.sft_params = trainer.params
+        trainer.step = last
+        print(f"resumed from step {last}", file=sys.stderr)
+
     data = TrainDataIterator(**cfg["dataset"])
     log_every = cfg.get("log_every", 10)
     save_every = cfg.get("save_every", 1000)
