@@ -90,3 +90,21 @@ class TestHCodec20:
         assert ac.shape == (1, 4, 2) and sem.shape == (1, 4, 2)
         recon = m.apply(variables, ac, sem, method="decode")
         assert recon.shape == (1, L)
+
+
+class TestHCodec20Tokenizer:
+    def test_tokenize_detokenize_with_resample(self, rng):
+        """48 kHz tokenizer end-to-end: resamples to 16 kHz for the SSL
+        frontend (HCodec-2.0 audio_tokenizer.py:41,50), hop 3840."""
+        from unified_audio_tpu.models.hcodec.tokenizer import HCodecTokenizer
+        from tests.test_unise import tiny_ssl_cfg
+
+        cfg = small20()
+        tok = HCodecTokenizer.from_random(
+            jax.random.PRNGKey(0), cfg, tiny_ssl_cfg(cfg.feat_dim)
+        )
+        wav = jnp.asarray(rng.standard_normal((1, 3840 * 4)).astype(np.float32))
+        ac, sem = tok.tokenize(wav)
+        assert ac.shape == (1, 2, 4)  # (B, nq, T @ 12.5 Hz)
+        rec = tok.detokenize(ac, sem)
+        assert rec.shape == (1, 3840 * 4)

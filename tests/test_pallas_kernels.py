@@ -42,3 +42,20 @@ class TestVQKernel:
             vq_kernel.rvq_encode_pallas(x, cbs, tile_m=1024, interpret=True)
         )
         np.testing.assert_array_equal(ours, ref)
+
+    def test_rvq_fused(self, key, rng):
+        """Fully fused multi-layer kernel == module encode."""
+        m = quant.ResidualVQ(dim=16, codebook_size=32, num_quantizers=4,
+                             kmeans_init=False)
+        x = jnp.asarray(rng.standard_normal((2, 40, 16)).astype(np.float32))
+        import jax
+        variables = m.init({"params": jax.random.PRNGKey(0),
+                            "quant": jax.random.PRNGKey(1)}, x, train=False)
+        ref = np.asarray(m.apply(variables, x, method="encode"))
+        cbs = jnp.stack(
+            [variables["codebook"][f"layers_{i}"]["embed"] for i in range(4)]
+        )
+        ours = np.asarray(
+            vq_kernel.rvq_encode_fused_pallas(x, cbs, interpret=True)
+        )
+        np.testing.assert_array_equal(ours, ref)

@@ -50,8 +50,10 @@ def nearest_code_pallas(
 ) -> jnp.ndarray:
     """argmin_j ||x_i - e_j||^2. x (..., D), codebook (N, D) -> (...,) int32.
 
-    Bit-identical to ops.quant.nearest_code (same fp32 math, same tie-break:
-    argmin picks the lowest index).
+    Same math/tie-break as ops.quant.nearest_code, at the MXU's default
+    precision (Mosaic rejects HIGHEST-precision f32 dots) — the XLA path pins
+    HIGHEST and is the token-ID parity reference; this kernel is the
+    throughput variant (<1%% near-tie assignment drift on random data).
     """
     batch_shape = x.shape[:-1]
     d = x.shape[-1]
@@ -91,7 +93,7 @@ def nearest_code_pallas(
     return out.reshape(-1)[:m].reshape(batch_shape)
 
 
-def rvq_encode_pallas(x, codebooks, tile_m: int = 512, interpret: bool = False):
+def rvq_encode_pallas(x, codebooks, tile_m: int = 1024, interpret: bool = False):
     """Residual VQ encode with the fused kernel per layer.
 
     x (B, T, D), codebooks (nq, N, D) -> codes (B, T, nq).
@@ -104,3 +106,85 @@ def rvq_encode_pallas(x, codebooks, tile_m: int = 512, interpret: bool = False):
         residual = residual - jnp.take(codebooks[i], idx, axis=0)
         out.append(idx)
     return jnp.stack(out, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Fully fused residual-VQ encode: ALL nq layers inside one kernel. The
+# residual never leaves VMEM between layers (the staged version round-trips
+# it through HBM nq times) and the dequantize-for-residual step runs as a
+# one-hot matmul on the MXU instead of an HBM gather.
+# ---------------------------------------------------------------------------
+
+def _rvq_kernel(nq: int):
+    def kernel(x_ref, cbsq_ref, cb_ref, idx_ref):
+        residual = x_ref[:]  # (TM, D)
+        n = cb_ref.shape[1]
+        for l in range(nq):
+            cb = cb_ref[l]  # (N, D)
+            dots = jax.lax.dot_general(
+                residual, cb,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dist = cbsq_ref[l] - 2.0 * dots  # (TM, N)
+            idx = jnp.argmin(dist, axis=-1).astype(jnp.int32)  # (TM,)
+            idx_ref[l] = idx.reshape(idx_ref.shape[1:])
+            if l < nq - 1:
+                onehot = (
+                    jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+                    == idx[:, None]
+                ).astype(residual.dtype)
+                quant = jax.lax.dot_general(
+                    onehot, cb,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(residual.dtype)
+                residual = residual - quant
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("tile_m", "interpret"))
+def rvq_encode_fused_pallas(
+    x: jnp.ndarray,
+    codebooks: jnp.ndarray,
+    tile_m: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x (..., D), codebooks (nq, N, D) -> codes (..., nq) in ONE kernel."""
+    batch_shape = x.shape[:-1]
+    nq, n, d = codebooks.shape
+    tile_m = max(1024, _round_up(tile_m, 1024))
+    flat = x.reshape(-1, d)
+    m = flat.shape[0]
+    m_pad = _round_up(max(m, 128), tile_m)
+    if m_pad != m:
+        flat = jnp.pad(flat, ((0, m_pad - m), (0, 0)))
+    cbsq = jnp.sum(codebooks.astype(jnp.float32) ** 2, axis=-1)[:, None, :]
+
+    rows = tile_m // 128
+    out = pl.pallas_call(
+        _rvq_kernel(nq),
+        out_shape=jax.ShapeDtypeStruct((nq, m_pad // 128, 128), jnp.int32),
+        grid_spec=pl.GridSpec(
+            grid=(m_pad // tile_m,),
+            in_specs=[
+                pl.BlockSpec((tile_m, d), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nq, 1, n), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nq, n, d), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((nq, rows, 128), lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * nq * m_pad * n * d,
+            bytes_accessed=m_pad * d * 4 + nq * n * d * 4 + nq * m_pad * 4,
+            transcendentals=0,
+        ),
+    )(flat, cbsq, codebooks)
+    codes = out.reshape(nq, -1)[:, :m]  # (nq, M)
+    return jnp.moveaxis(codes, 0, -1).reshape(*batch_shape, nq)

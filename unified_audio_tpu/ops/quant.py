@@ -40,8 +40,11 @@ def nearest_code(x: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarray:
     The |x|^2 term does not affect the argmin; we keep -2xE + |E|^2 only,
     which XLA fuses into one matmul + bias + argmin.
     """
+    # HIGHEST precision: the argmin is tie-sensitive, and default TPU matmul
+    # precision (bf16 passes) flips near-tie code assignments vs fp32
     dots = jnp.einsum(
-        "...d,nd->...n", x, codebook, preferred_element_type=jnp.float32
+        "...d,nd->...n", x, codebook, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     dist = jnp.sum(codebook.astype(jnp.float32) ** 2, axis=-1) - 2.0 * dots
     return jnp.argmin(dist, axis=-1).astype(jnp.int32)
@@ -54,7 +57,8 @@ def cosine_nearest_code(x: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarray:
     cn = codebook / jnp.maximum(
         jnp.linalg.norm(codebook, axis=-1, keepdims=True), 1e-12
     )
-    dots = jnp.einsum("...d,nd->...n", xn, cn, preferred_element_type=jnp.float32)
+    dots = jnp.einsum("...d,nd->...n", xn, cn, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
     return jnp.argmax(dots, axis=-1).astype(jnp.int32)
 
 
