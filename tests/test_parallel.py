@@ -121,3 +121,23 @@ class TestPretrain:
             assert np.isfinite(loss)
             losses.append(loss)
         assert tr.step == 3
+
+
+class TestValidator:
+    def test_validation_pass(self, key, rng):
+        from unified_audio_tpu.train.sft_trainer import Validator
+
+        unise = build_unise(key)
+        v = Validator(unise)
+        b, t = 2, 6400
+        batches = []
+        for mode in ("se", "tse"):
+            mix = rng.standard_normal((b, t)).astype(np.float32)
+            speech = rng.standard_normal((b, t)).astype(np.float32)
+            enroll = mix if mode != "se" else None
+            batches.append((mode, enroll, jnp.asarray(mix),
+                            jnp.asarray(speech), jnp.asarray(mix),
+                            None, None, None))
+        out = v.run(unise.sft_params, batches)
+        assert out["num_batches"] == 2
+        assert np.isfinite(out["valid_loss"]) and 0 <= out["valid_acc"] <= 1

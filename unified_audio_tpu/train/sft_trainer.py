@@ -66,3 +66,29 @@ class SFTTrainer:
         self.unise.sft_params = self.params
         self.step += 1
         return float(loss), float(acc)
+
+
+class Validator:
+    """Validation pass (model.py:134-160 equivalent): averaged loss/acc over a
+    val iterator, no parameter updates."""
+
+    def __init__(self, unise: UniSE):
+        self.unise = unise
+
+        @partial(jax.jit, static_argnames=("task",))
+        def _eval(params, task, enroll, mix, target):
+            return self.unise.loss_fn(params, task, enroll, mix, target)
+
+        self._eval = _eval
+
+    def run(self, params, batches):
+        losses, accs, n = 0.0, 0.0, 0
+        for batch in batches:
+            mode, enroll, mix, speech, interf, fs, lens, names = batch
+            target = interf if mode == "rtse" else speech
+            loss, acc = self._eval(params, mode, enroll, mix, target)
+            losses += float(loss)
+            accs += float(acc)
+            n += 1
+        return {"valid_loss": losses / max(n, 1),
+                "valid_acc": accs / max(n, 1), "num_batches": n}
