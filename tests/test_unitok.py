@@ -74,3 +74,39 @@ class TestUniTokLM:
         l2 = f(jnp.asarray(3))
         assert np.isfinite(float(l1)) and np.isfinite(float(l2))
         assert float(l1) != float(l2)
+
+
+class TestUniTokPipeline:
+    def test_end_to_end(self, rng):
+        """audio -> codes -> LM loss, and generate -> audio, on a tiny stack."""
+        import jax
+
+        from unified_audio_tpu.models.unitok.model import UniTokConfig
+        from unified_audio_tpu.models.unitok.pipeline import UniTokPipeline
+        from tests.test_hcodec import small10
+        from tests.test_unise import tiny_ssl_cfg
+
+        codec_cfg = small10()
+        ssl_cfg = tiny_ssl_cfg(codec_cfg.feat_dim)
+        lm_cfg = UniTokConfig(
+            codebook_size=codec_cfg.codebook_size,
+            num_quantizers=codec_cfg.num_quantizers,
+            hidden_size=32, num_layers=2, num_heads=4,
+            audio_dim=ssl_cfg.hidden_size,
+        )
+        pipe = UniTokPipeline.from_random(
+            jax.random.PRNGKey(0), codec_cfg, ssl_cfg, lm_cfg
+        )
+        wav = jnp.asarray(rng.standard_normal((1, 640 * 4)).astype(np.float32))
+
+        codes = pipe.audio_to_codes(wav)
+        assert codes.shape == (1, 4, 2 * codec_cfg.num_quantizers)
+        rec = pipe.codes_to_audio(codes)
+        assert rec.shape == (1, 640 * 4)
+
+        loss, acc = pipe.train_loss(pipe.lm_params, "codec", wav, wav)
+        assert np.isfinite(float(loss))
+
+        out = pipe.generate("ae", wav, jax.random.PRNGKey(1), num_frames=4)
+        assert out.shape == (1, 640 * 4)
+        assert np.isfinite(np.asarray(out)).all()
