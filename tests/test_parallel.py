@@ -48,7 +48,7 @@ class TestMesh:
         }
         # stacked (nn.scan) params carry a leading layer axis; specs are
         # right-aligned so the logical dims keep their sharding
-        qspec = [v for k, v in specs.items() if "q_proj" in k][0]
+        qspec = [v for k, v in specs.items() if "qkv_proj" in k][0]
         assert qspec == P(None, None, "tp")
         ospec = [v for k, v in specs.items() if "o_proj" in k][0]
         assert ospec == P(None, "tp", None)

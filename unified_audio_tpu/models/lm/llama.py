@@ -94,9 +94,10 @@ class LlamaAttention(nn.Module):
         cfg = self.cfg
         b, s, _ = x.shape
         h, hd = cfg.num_heads, cfg.head_dim
-        q = nn.Dense(cfg.hidden_size, use_bias=False, name="q_proj")(x)
-        k = nn.Dense(cfg.hidden_size, use_bias=False, name="k_proj")(x)
-        v = nn.Dense(cfg.hidden_size, use_bias=False, name="v_proj")(x)
+        # fused QKV: one MXU matmul instead of three (decode steps are
+        # launch-overhead bound at these sizes)
+        qkv = nn.Dense(3 * cfg.hidden_size, use_bias=False, name="qkv_proj")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(b, s, h, hd)
         k = k.reshape(b, s, h, hd)
         v = v.reshape(b, s, h, hd)
@@ -132,8 +133,9 @@ class LlamaMLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         inter = self.cfg.hidden_size * 4
-        gate = nn.Dense(inter, use_bias=False, name="gate_proj")(x)
-        up = nn.Dense(inter, use_bias=False, name="up_proj")(x)
+        # fused gate/up: one matmul, split after
+        gate_up = nn.Dense(2 * inter, use_bias=False, name="gate_up_proj")(x)
+        gate, up = jnp.split(gate_up, 2, axis=-1)
         return nn.Dense(self.cfg.hidden_size, use_bias=False, name="down_proj")(
             jax.nn.silu(gate) * up
         )

@@ -32,9 +32,9 @@ def make_mesh(dp: Optional[int] = None, tp: int = 1, devices=None) -> Mesh:
 # Parameter-path regex -> PartitionSpec for the LM. Everything unmatched is
 # replicated. Kernel layout is (in, out) for Dense.
 LM_RULES: Sequence = (
-    (r".*self_attn/(q_proj|k_proj|v_proj)/kernel", P(None, "tp")),
+    (r".*self_attn/qkv_proj/kernel", P(None, "tp")),
     (r".*self_attn/o_proj/kernel", P("tp", None)),
-    (r".*mlp/(gate_proj|up_proj)/kernel", P(None, "tp")),
+    (r".*mlp/gate_up_proj/kernel", P(None, "tp")),
     (r".*mlp/down_proj/kernel", P("tp", None)),
     (r".*output_head/kernel", P(None, "tp")),
     (r".*codec_embedding/embedding", P(None, "tp")),

@@ -138,16 +138,22 @@ def convert_hf_llama_layers(state_dict: Dict, num_layers: int) -> Dict:
     per_layer = []
     for i in range(num_layers):
         pre = f"layers.{i}"
+        qkv = np.concatenate([
+            _t(sd[f"{pre}.self_attn.q_proj.weight"]).T,
+            _t(sd[f"{pre}.self_attn.k_proj.weight"]).T,
+            _t(sd[f"{pre}.self_attn.v_proj.weight"]).T,
+        ], axis=1)
+        gate_up = np.concatenate([
+            _t(sd[f"{pre}.mlp.gate_proj.weight"]).T,
+            _t(sd[f"{pre}.mlp.up_proj.weight"]).T,
+        ], axis=1)
         per_layer.append({
             "self_attn": {
-                "q_proj": _linear(sd, f"{pre}.self_attn.q_proj"),
-                "k_proj": _linear(sd, f"{pre}.self_attn.k_proj"),
-                "v_proj": _linear(sd, f"{pre}.self_attn.v_proj"),
+                "qkv_proj": {"kernel": qkv},
                 "o_proj": _linear(sd, f"{pre}.self_attn.o_proj"),
             },
             "mlp": {
-                "gate_proj": _linear(sd, f"{pre}.mlp.gate_proj"),
-                "up_proj": _linear(sd, f"{pre}.mlp.up_proj"),
+                "gate_up_proj": {"kernel": gate_up},
                 "down_proj": _linear(sd, f"{pre}.mlp.down_proj"),
             },
             "input_layernorm": {
