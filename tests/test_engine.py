@@ -95,3 +95,66 @@ class TestEngine:
         r_busy = busy.run([other, mine], jax.random.PRNGKey(1))[7]
         np.testing.assert_array_equal(r_alone.global_ids, r_busy.global_ids)
         np.testing.assert_array_equal(r_alone.semantic_ids, r_busy.semantic_ids)
+
+
+class TestPagedKV:
+    def test_matches_dense_cache(self, setup):
+        """Paged decode over a block pool == the dense static-cache path."""
+        from unified_audio_tpu.models.lm.llama import LlamaBackbone, init_cache
+        from unified_audio_tpu.serve.paged import (
+            BlockAllocator, init_pool, paged_decode_step,
+        )
+
+        cfg, sft, params, rng = setup
+        backbone = LlamaBackbone(cfg)
+        bb_params = params["params"]["lm"]["backbone"]
+
+        t = 10
+        embeds = jnp.asarray(
+            rng.standard_normal((1, t, cfg.hidden_size)).astype(np.float32)
+        )
+
+        # dense reference: token-by-token through the static cache
+        cache = init_cache(cfg, 1, 16)
+        dense_out = []
+        for i in range(t):
+            h, cache = backbone.apply(
+                {"params": bb_params}, embeds[:, i : i + 1], cache,
+                method="decode_step",
+            )
+            dense_out.append(h)
+        dense = jnp.concatenate(dense_out, axis=1)
+
+        # paged: block size 4, blocks allocated on demand
+        block_size, max_blocks = 4, 4
+        alloc = BlockAllocator(num_blocks=8)
+        pool = init_pool(cfg, num_blocks=8, block_size=block_size)
+        table = np.zeros(max_blocks, np.int32)
+        n_alloc = 0
+        paged_out = []
+        for i in range(t):
+            if i // block_size >= n_alloc:
+                table[n_alloc] = alloc.alloc(1)[0]
+                n_alloc += 1
+            h, pool = paged_decode_step(
+                cfg, bb_params, pool, jnp.asarray(table), jnp.asarray(i),
+                embeds[:, i : i + 1], block_size=block_size,
+            )
+            paged_out.append(h)
+        paged = jnp.concatenate(paged_out, axis=1)
+
+        np.testing.assert_allclose(
+            np.asarray(dense), np.asarray(paged), atol=2e-4
+        )
+
+    def test_allocator(self):
+        from unified_audio_tpu.serve.paged import BlockAllocator
+
+        a = BlockAllocator(4)
+        b1 = a.alloc(3)
+        assert len(b1) == 3 and len(a.free) == 1
+        a.release(b1[:2])
+        assert len(a.free) == 3
+        import pytest as _pytest
+        with _pytest.raises(RuntimeError):
+            a.alloc(5)
