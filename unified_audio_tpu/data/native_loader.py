@@ -11,7 +11,7 @@ import hashlib
 import os
 import subprocess
 from pathlib import Path
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -14,8 +14,8 @@ np.random.Generator so workers are reproducible and independent.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Tuple
+from dataclasses import dataclass
+from typing import Dict, List, Optional
 
 import numpy as np
 import scipy.signal

@@ -9,7 +9,7 @@ STOI printing at model/model.py:294-299 with a real harness.
 from __future__ import annotations
 
 import json
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Dict, List, Optional
 

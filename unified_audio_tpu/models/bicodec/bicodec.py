@@ -9,8 +9,8 @@ Flow (reference bicodec.py:113-199):
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Any, Dict, Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,7 @@ running stats live in the "batch_stats" collection.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

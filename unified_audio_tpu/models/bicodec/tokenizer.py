@@ -7,7 +7,6 @@ feature mix, 6-second tiled reference clip for the speaker branch.
 """
 from __future__ import annotations
 
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ Dynamic shapes redesigned for XLA (SURVEY §7 "hard parts"):
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,6 @@ conformer blocks (half-FFN -> MHSA -> depthwise-conv module -> half-FFN -> LN).
 """
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

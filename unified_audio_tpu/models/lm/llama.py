@@ -14,9 +14,9 @@ segments decode together.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
-from typing import Any, Dict, Optional, Tuple
+
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ dimension carries the 5-second segments the reference reshapes into a batch
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -13,8 +13,8 @@ reproduces the HF computation graph (transformers 4.49 semantics) in flax.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Tuple
 
 import numpy as np
 import jax

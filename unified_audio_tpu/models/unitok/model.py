@@ -18,8 +18,8 @@ CODEC / AE. This module realizes that spec TPU-natively:
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Dict, Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ tokenizer already computes.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ conditioning (modules/blocks/vocos.py), the learned up/down SamplingBlock
 """
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 import jax

@@ -18,7 +18,7 @@ the reference recipe; converters can fold it for inference.
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

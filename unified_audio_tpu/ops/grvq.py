@@ -13,7 +13,6 @@ index as ``a * codebook_size + b`` exactly as the reference does.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

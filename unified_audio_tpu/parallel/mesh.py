@@ -10,7 +10,7 @@ heads and MLP). VQ codebook EMA sync uses lax.psum over "dp" inside the step
 from __future__ import annotations
 
 import re
-from typing import Dict, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 import jax

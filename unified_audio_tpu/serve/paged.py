@@ -16,7 +16,7 @@ Design (all static shapes, jit-friendly):
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ separately.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import orbax.checkpoint as ocp

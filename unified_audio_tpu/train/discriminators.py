@@ -9,7 +9,7 @@ Channels-last (B, T, 1) waveforms.
 """
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

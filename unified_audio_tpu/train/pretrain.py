@@ -10,7 +10,7 @@ truncations, llm.py:124-127); batches come from any iterator yielding
 from __future__ import annotations
 
 from functools import partial
-from typing import Iterator, Optional, Tuple
+from typing import Iterator, Optional
 
 import jax
 import jax.numpy as jnp

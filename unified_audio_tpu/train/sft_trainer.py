@@ -9,7 +9,7 @@ psum — no explicit collectives in user code.
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Optional, Tuple
+
 
 import jax
 import jax.numpy as jnp

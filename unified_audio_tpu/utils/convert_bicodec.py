@@ -10,7 +10,7 @@ tree must match ``BiCodec.init`` leaf-for-leaf in paths and shapes.
 """
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 
