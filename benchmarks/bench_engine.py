@@ -1,0 +1,69 @@
+"""Continuous-batching engine throughput on the real chip: a stream of
+mixed-task SE/TSE requests flows through the slot pool; measures sustained
+tokens/sec and request latency at full LM size (the north-star serving mode)."""
+import json
+import time
+
+import numpy as np
+
+
+def main(num_slots: int = 8, num_requests: int = 24):
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from unified_audio_tpu.models.lm.llama import LlamaConfig
+    from unified_audio_tpu.models.lm.sft import LLMSFT
+    from unified_audio_tpu.serve.engine import ContinuousBatchingEngine, Request
+    from unified_audio_tpu.utils.initialization import init_on_cpu
+
+    cfg = LlamaConfig()
+    sft = LLMSFT(cfg, num_tasks=3, feats_dim=768)
+    params = init_on_cpu(lambda: sft.init(
+        jax.random.PRNGKey(0), 0, None,
+        np.zeros((1, 250, 768), np.float32),
+        np.zeros((1, 32), np.int32), np.zeros((1, 250), np.int32),
+    ))
+
+    rng = np.random.default_rng(0)
+
+    def make_request(uid):
+        task = uid % 3  # mixed se/tse/rtse traffic
+        return Request(
+            task_id=task,
+            mix_feats=rng.standard_normal((250, 768)).astype(np.float32),
+            enroll_feats=(rng.standard_normal((250, 768)).astype(np.float32)
+                          if task != 0 else None),
+            global_length=32, semantic_length=250, uid=uid,
+        )
+
+    eng = ContinuousBatchingEngine(sft, params, num_slots=num_slots,
+                                   max_cache_len=1024, max_global=32,
+                                   max_semantic=256)
+    # warmup: one full request end-to-end (compiles prefill variants + step)
+    print(json.dumps({"stage": "warmup"}), flush=True)
+    eng.run([make_request(10_000), make_request(10_001)], jax.random.PRNGKey(1))
+
+    reqs = [make_request(i) for i in range(num_requests)]
+    t0 = time.perf_counter()
+    results = eng.run(reqs, jax.random.PRNGKey(2))
+    dt = time.perf_counter() - t0
+    assert len(results) == num_requests
+    tokens = num_requests * (33 + 250)
+    print(json.dumps({
+        "metric": "engine_mixed_task_throughput",
+        "num_slots": num_slots,
+        "num_requests": num_requests,
+        "tokens_per_sec": round(tokens / dt, 1),
+        "requests_per_sec": round(num_requests / dt, 2),
+        "audio_sec_per_sec": round(num_requests * 5.0 / dt, 2),
+        "wall_s": round(dt, 2),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
