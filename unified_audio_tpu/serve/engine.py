@@ -258,8 +258,14 @@ class ContinuousBatchingEngine:
                 self._uids[i] = None
         return out
 
-    def run(self, requests: List[Request], rng) -> Dict[int, Result]:
-        """Drive the pool until all requests complete (simple scheduler)."""
+    def run(self, requests: List[Request], rng,
+            poll_interval: int = 16) -> Dict[int, Result]:
+        """Drive the pool until all requests complete (simple scheduler).
+
+        ``poll_interval`` batches device steps between host-side harvest
+        polls: each poll costs a device->host sync, which dominates on
+        remote-attached chips (stepping an all-done pool is a no-op, so
+        over-stepping by up to poll_interval is harmless)."""
         pending = list(requests)
         results: Dict[int, Result] = {}
         i = 0
@@ -267,10 +273,11 @@ class ContinuousBatchingEngine:
             while pending and self.free_slots():
                 rng, sub = jax.random.split(rng)
                 self.admit(pending.pop(0), sub)
-            self.step()
+            for _ in range(poll_interval):
+                self.step()
             for r in self.harvest():
                 results[r.uid] = r
-            i += 1
-            if i > 10000:
+            i += poll_interval
+            if i > 100000:
                 raise RuntimeError("engine did not converge")
         return results
