@@ -130,8 +130,7 @@ class ContinuousBatchingEngine:
                 params, ids, cache, method=lambda m, i, c: m.lm.decode_ids(i, c)
             )
 
-        @jax.jit
-        def _step(params, cache_all, state):
+        def _step_body(params, cache_all, state):
             phase = state["phase"]
             active = phase != PHASE_DONE
 
@@ -210,9 +209,22 @@ class ContinuousBatchingEngine:
             cache_out = jax.tree_util.tree_map(keep_old, new_cache, cache_all)
             return cache_out, new_state
 
+        @partial(jax.jit, static_argnames=("n",), donate_argnums=(1, 2))
+        def _step_n(params, cache_all, state, n=1):
+            """n decode steps for the whole pool as ONE dispatched lax.scan —
+            per-step host round trips dominate on remote-attached chips."""
+            def body(carry, _):
+                cache_all, state = carry
+                return _step_body(params, cache_all, state), None
+
+            (cache_all, state), _ = jax.lax.scan(
+                body, (cache_all, state), None, length=n
+            )
+            return cache_all, state
+
         self._prefill = _prefill
         self._insert = _insert
-        self._step = _step
+        self._step_n = _step_n
 
     # --- host-side API ---
 
@@ -242,8 +254,9 @@ class ContinuousBatchingEngine:
         self._uids[slot] = req.uid
         return slot
 
-    def step(self):
-        self.cache, self.state = self._step(self.params, self.cache, self.state)
+    def step(self, n: int = 1):
+        self.cache, self.state = self._step_n(self.params, self.cache,
+                                              self.state, n=n)
 
     def harvest(self) -> List[Result]:
         phase = np.asarray(self.state["phase"])
@@ -273,8 +286,7 @@ class ContinuousBatchingEngine:
             while pending and self.free_slots():
                 rng, sub = jax.random.split(rng)
                 self.admit(pending.pop(0), sub)
-            for _ in range(poll_interval):
-                self.step()
+            self.step(n=poll_interval)
             for r in self.harvest():
                 results[r.uid] = r
             i += poll_interval
