@@ -108,12 +108,23 @@ class LlamaAttention(nn.Module):
         has_cache = cache_kv is not None and cache_kv[0].size > 0
         if has_cache:
             k_buf, v_buf = cache_kv
-            k_buf = jax.lax.dynamic_update_slice(
-                k_buf, k.astype(k_buf.dtype), (0, cache_index, 0, 0)
-            )
-            v_buf = jax.lax.dynamic_update_slice(
-                v_buf, v.astype(v_buf.dtype), (0, cache_index, 0, 0)
-            )
+            if getattr(cache_index, "ndim", 0) == 1:
+                # per-sequence cache positions (continuous-batching decode):
+                # s == 1, scatter each batch row at its own index
+                rows = jnp.arange(b)
+                k_buf = k_buf.at[rows, cache_index].set(
+                    k[:, 0].astype(k_buf.dtype)
+                )
+                v_buf = v_buf.at[rows, cache_index].set(
+                    v[:, 0].astype(v_buf.dtype)
+                )
+            else:
+                k_buf = jax.lax.dynamic_update_slice(
+                    k_buf, k.astype(k_buf.dtype), (0, cache_index, 0, 0)
+                )
+                v_buf = jax.lax.dynamic_update_slice(
+                    v_buf, v.astype(v_buf.dtype), (0, cache_index, 0, 0)
+                )
             k, v = k_buf, v_buf
             new_cache = (k_buf, v_buf)
         else:
@@ -223,6 +234,23 @@ class LlamaBackbone(nn.Module):
 
     def decode_step(self, embeds, cache):
         return self._cached_forward(embeds, cache)
+
+    def decode_step_multi(self, embeds, cache):
+        """Batched one-token decode with PER-SEQUENCE cache positions:
+        embeds (B, 1, D), cache index (B,) — the continuous-batching path
+        (each pool slot sits at its own depth)."""
+        cfg = self.cfg
+        b = embeds.shape[0]
+        max_len = cache["k"].shape[2]
+        idx = cache["index"]  # (B,)
+        cos, sin = rope_cos_sin(idx[:, None], cfg.head_dim, cfg.rope_theta)
+        key_pos = jax.lax.broadcasted_iota(jnp.int32, (b, max_len), 1)
+        mask = jnp.where(key_pos <= idx[:, None], 0.0, NEG_INF)[:, None, None]
+        x, (new_k, new_v) = self.layers(
+            embeds, mask, cos, sin, (cache["k"], cache["v"]), idx
+        )
+        new_cache = {"k": new_k, "v": new_v, "index": idx + 1}
+        return self.norm(x), new_cache
 
 
 # ---------------------------------------------------------------------------
@@ -356,6 +384,12 @@ class CodecLM(nn.Module):
         """ids (B,) -> (logits (B, V), cache). One decode step."""
         embeds = self.codec_embedding(ids[:, None])
         hidden, cache = self.backbone.decode_step(embeds, cache)
+        return self.output_head(hidden[:, -1]), cache
+
+    def decode_ids_multi(self, ids, cache):
+        """ids (B,) with per-sequence cache positions (index (B,))."""
+        embeds = self.codec_embedding(ids[:, None])
+        hidden, cache = self.backbone.decode_step_multi(embeds, cache)
         return self.output_head(hidden[:, -1]), cache
 
 

@@ -68,14 +68,12 @@ class ContinuousBatchingEngine:
         self.max_semantic = max_semantic
 
         cfg = self.cfg
-        # stacked per-slot caches: (S, L, 1, max_len, H, hd)
-        single = init_cache(cfg, 1, max_cache_len)
-        self.cache = jax.tree_util.tree_map(
-            lambda x: jnp.broadcast_to(
-                x[None], (num_slots, *x.shape)
-            ).copy() if x.ndim else jnp.zeros((num_slots,), x.dtype),
-            single,
-        )
+        # ONE batched cache over the slot axis with per-slot positions:
+        # (L, S, max_len, H, hd) + index (S,). Decoding the pool is a single
+        # real batch (decode_ids_multi), not a vmap of batch-1 programs.
+        base = init_cache(cfg, num_slots, max_cache_len)
+        self.cache = {"k": base["k"], "v": base["v"],
+                      "index": jnp.zeros((num_slots,), jnp.int32)}
         self.state = {
             "phase": jnp.full((num_slots,), PHASE_DONE, jnp.int32),
             "steps_in_phase": jnp.zeros((num_slots,), jnp.int32),
@@ -110,8 +108,12 @@ class ContinuousBatchingEngine:
         @jax.jit
         def _insert(cache_all, state, slot, new_cache, global_len,
                     semantic_len, rng, do_sample):
-            cache_all = jax.tree_util.tree_map(
-                lambda buf, new: buf.at[slot].set(new), cache_all, new_cache
+            cache_all = dict(cache_all)
+            # new_cache is a batch-1 prefilled cache: write its lane into slot
+            cache_all["k"] = cache_all["k"].at[:, slot].set(new_cache["k"][:, 0])
+            cache_all["v"] = cache_all["v"].at[:, slot].set(new_cache["v"][:, 0])
+            cache_all["index"] = cache_all["index"].at[slot].set(
+                new_cache["index"]
             )
             state = dict(state)
             state["phase"] = state["phase"].at[slot].set(PHASE_GLOBAL)
@@ -125,20 +127,16 @@ class ContinuousBatchingEngine:
             state["out_semantic"] = state["out_semantic"].at[slot].set(0)
             return cache_all, state
 
-        def _one_slot_decode(params, ids, cache):
-            return self.sft.apply(
-                params, ids, cache, method=lambda m, i, c: m.lm.decode_ids(i, c)
-            )
-
         def _step_body(params, cache_all, state):
             phase = state["phase"]
             active = phase != PHASE_DONE
 
-            # one decode step for every slot (vmapped over the slot axis)
-            logits, new_cache = jax.vmap(
-                lambda ids, c: _one_slot_decode(params, ids[None], c)
-            )(state["last_ids"], cache_all)
-            logits = logits[:, 0]  # (S, V)
+            # one REAL batched decode step for the whole pool (per-slot
+            # cache positions via decode_ids_multi)
+            logits, new_cache = self.sft.apply(
+                params, state["last_ids"], cache_all,
+                method=lambda m, i, c: m.lm.decode_ids_multi(i, c),
+            )  # (S, V)
 
             mask = jnp.where(
                 (phase == PHASE_GLOBAL)[:, None], gmask[None], smask[None]
@@ -201,12 +199,14 @@ class ContinuousBatchingEngine:
             new_state["out_semantic"] = out_semantic
 
             # inactive slots must not corrupt their caches: restore the old
-            # cache content for them
-            def keep_old(new, old):
-                act = active.reshape((-1,) + (1,) * (new.ndim - 1))
-                return jnp.where(act, new, old)
-
-            cache_out = jax.tree_util.tree_map(keep_old, new_cache, cache_all)
+            # cache content for them (slot axis is axis 1 of the k/v buffers)
+            act_kv = active[None, :, None, None, None]
+            cache_out = {
+                "k": jnp.where(act_kv, new_cache["k"], cache_all["k"]),
+                "v": jnp.where(act_kv, new_cache["v"], cache_all["v"]),
+                "index": jnp.where(active, new_cache["index"],
+                                   cache_all["index"]),
+            }
             return cache_out, new_state
 
         @partial(jax.jit, static_argnames=("n",), donate_argnums=(1, 2))
