@@ -105,15 +105,21 @@ def cmd_enhance(args):
 
     from .data.audio_io import read_wav, write_wav
 
-    unise = _build_unise()
+    # validate inputs BEFORE the (minutes-long) model build
+    if not Path(args.input).exists():
+        sys.exit(f"error: input file not found: {args.input}")
+    if args.mode == "tse" and not args.enroll:
+        sys.exit("error: --mode tse requires --enroll <wav>")
     wav, fs = read_wav(args.input)
+    enroll_wav = read_wav(args.enroll)[0] if args.enroll else None
+
+    unise = _build_unise()
     rng = jax.random.PRNGKey(args.seed)
     if args.mode == "se":
         est = unise.enhance_se(wav, rng, do_sample=args.sample)
         write_wav(args.output, est, fs)
     elif args.mode == "tse":
-        enroll, _ = read_wav(args.enroll)
-        est = unise.enhance_tse(wav, enroll, rng, do_sample=args.sample)
+        est = unise.enhance_tse(wav, enroll_wav, rng, do_sample=args.sample)
         write_wav(args.output, est, fs)
     else:  # ss
         s1, s2 = unise.separate_ss(wav, rng, do_sample=args.sample)
