@@ -1,14 +1,18 @@
-"""Continuous-batching engine throughput on the real chip: a stream of
-mixed-task SE/TSE requests flows through the slot pool; measures sustained
-tokens/sec and request latency at full LM size (the north-star serving mode)."""
+"""Continuous-batching paged-KV engine throughput on the real chip: a stream
+of mixed-task SE/TSE requests flows through the slot pool; measures sustained
+tokens/sec and request latency at full LM size (the north-star serving mode).
+
+Round-2 engine: paged block-pool KV, batched bucket-padded admissions
+(one prefill dispatch per wave), per-request sampling params, bf16 params."""
 import json
 import time
 
 import numpy as np
 
 
-def main(num_slots: int = 8, num_requests: int = 24):
+def main(num_slots: int = 8, num_requests: int = 24, dtype: str = "bfloat16"):
     import jax
+    import jax.numpy as jnp
 
     try:
         jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
@@ -41,12 +45,15 @@ def main(num_slots: int = 8, num_requests: int = 24):
             global_length=32, semantic_length=250, uid=uid,
         )
 
-    eng = ContinuousBatchingEngine(sft, params, num_slots=num_slots,
-                                   max_cache_len=1024, max_global=32,
-                                   max_semantic=256)
-    # warmup: one full request end-to-end (compiles prefill variants + step)
+    eng = ContinuousBatchingEngine(
+        sft, params, num_slots=num_slots, block_size=64,
+        max_global=32, max_semantic=256, mix_buckets=(256,),
+        dtype=jnp.bfloat16 if dtype == "bfloat16" else None,
+    )
+    # warmup: fill the pool once end-to-end (compiles prefill waves + step)
     print(json.dumps({"stage": "warmup"}), flush=True)
-    eng.run([make_request(10_000), make_request(10_001)], jax.random.PRNGKey(1))
+    eng.run([make_request(10_000 + i) for i in range(num_slots)],
+            jax.random.PRNGKey(1))
 
     reqs = [make_request(i) for i in range(num_requests)]
     t0 = time.perf_counter()
@@ -58,6 +65,8 @@ def main(num_slots: int = 8, num_requests: int = 24):
         "metric": "engine_mixed_task_throughput",
         "num_slots": num_slots,
         "num_requests": num_requests,
+        "dtype": dtype,
+        "kv": "paged",
         "tokens_per_sec": round(tokens / dt, 1),
         "requests_per_sec": round(num_requests / dt, 2),
         "audio_sec_per_sec": round(num_requests * 5.0 / dt, 2),
@@ -66,4 +75,13 @@ def main(num_slots: int = 8, num_requests: int = 24):
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    kw = {}
+    if len(sys.argv) > 1:
+        kw["num_slots"] = int(sys.argv[1])
+    if len(sys.argv) > 2:
+        kw["num_requests"] = int(sys.argv[2])
+    if len(sys.argv) > 3:
+        kw["dtype"] = sys.argv[3]
+    main(**kw)

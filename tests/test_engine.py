@@ -1,11 +1,14 @@
-"""Continuous-batching engine tests: greedy equivalence with sft.generate,
-mixed-task pools, slot reuse."""
+"""Continuous-batching paged-KV engine tests: greedy equivalence with
+sft.generate, mixed-task pools, slot isolation, per-request sampling params,
+bucketed prompt padding, block-pool recycling, admit validation."""
 import numpy as np
 import pytest
 import jax
 import jax.numpy as jnp
 
-from unified_audio_tpu.models.lm.llama import LlamaConfig
+from unified_audio_tpu.models.lm.llama import (
+    LlamaConfig, sample_logits, sample_logits_vec,
+)
 from unified_audio_tpu.models.lm.sft import LLMSFT
 from unified_audio_tpu.serve.engine import ContinuousBatchingEngine, Request
 
@@ -23,6 +26,15 @@ def setup():
     return cfg, sft, params, rng
 
 
+def make_engine(sft, params, **kw):
+    kw.setdefault("num_slots", 2)
+    kw.setdefault("block_size", 8)
+    kw.setdefault("max_global", 8)
+    kw.setdefault("max_semantic", 16)
+    kw.setdefault("mix_buckets", (10, 16))
+    return ContinuousBatchingEngine(sft, params, **kw)
+
+
 class TestEngine:
     def test_greedy_matches_generate(self, setup):
         cfg, sft, params, rng = setup
@@ -34,15 +46,60 @@ class TestEngine:
             do_sample=False,
         )
 
-        eng = ContinuousBatchingEngine(sft, params, num_slots=2,
-                                       max_cache_len=64, max_global=8,
-                                       max_semantic=16)
+        eng = make_engine(sft, params)
         req = Request(task_id=0, mix_feats=mix, global_length=4,
                       semantic_length=6, do_sample=False, uid=1)
         results = eng.run([req], jax.random.PRNGKey(0))
         np.testing.assert_array_equal(results[1].global_ids,
                                       np.asarray(ref_g[0]))
         np.testing.assert_array_equal(results[1].semantic_ids,
+                                      np.asarray(ref_s[0]))
+
+    def test_greedy_matches_generate_padded_bucket(self, setup):
+        """A prompt shorter than its bucket must decode identically to the
+        unpadded generate (right-pad safety of the paged prefill)."""
+        cfg, sft, params, rng = setup
+        mix = rng.standard_normal((7, 12)).astype(np.float32)  # bucket 10
+
+        ref_g, ref_s = sft.apply(
+            params, 1, None, jnp.asarray(mix)[None], jax.random.PRNGKey(9),
+            method="generate", global_length=4, semantic_length=6,
+            do_sample=False,
+        )
+        eng = make_engine(sft, params)
+        results = eng.run(
+            [Request(task_id=1, mix_feats=mix, global_length=4,
+                     semantic_length=6, do_sample=False, uid=5)],
+            jax.random.PRNGKey(0),
+        )
+        np.testing.assert_array_equal(results[5].global_ids,
+                                      np.asarray(ref_g[0]))
+        np.testing.assert_array_equal(results[5].semantic_ids,
+                                      np.asarray(ref_s[0]))
+
+    def test_greedy_with_enroll_padded(self, setup):
+        """Enroll pad sits mid-prompt: the in-graph compaction must keep the
+        result identical to the unpadded generate."""
+        cfg, sft, params, rng = setup
+        mix = rng.standard_normal((9, 12)).astype(np.float32)
+        enroll = rng.standard_normal((6, 12)).astype(np.float32)  # bucket 10
+
+        ref_g, ref_s = sft.apply(
+            params, 1, jnp.asarray(enroll)[None], jnp.asarray(mix)[None],
+            jax.random.PRNGKey(9),
+            method="generate", global_length=4, semantic_length=6,
+            do_sample=False,
+        )
+        eng = make_engine(sft, params)
+        results = eng.run(
+            [Request(task_id=1, mix_feats=mix, enroll_feats=enroll,
+                     global_length=4, semantic_length=6, do_sample=False,
+                     uid=2)],
+            jax.random.PRNGKey(0),
+        )
+        np.testing.assert_array_equal(results[2].global_ids,
+                                      np.asarray(ref_g[0]))
+        np.testing.assert_array_equal(results[2].semantic_ids,
                                       np.asarray(ref_s[0]))
 
     def test_mixed_task_pool(self, setup):
@@ -58,9 +115,7 @@ class TestEngine:
                 enroll_feats=enroll, global_length=4, semantic_length=6,
                 do_sample=True, uid=uid,
             ))
-        eng = ContinuousBatchingEngine(sft, params, num_slots=2,
-                                       max_cache_len=64, max_global=8,
-                                       max_semantic=16)
+        eng = make_engine(sft, params)
         results = eng.run(reqs, jax.random.PRNGKey(3))
         assert sorted(results) == [0, 1, 2, 3, 4]
         for r in results.values():
@@ -70,21 +125,17 @@ class TestEngine:
 
     def test_isolation_between_slots(self, setup):
         """A request's greedy result is the same whether decoded alone or
-        alongside other traffic (slot isolation)."""
+        alongside other traffic (slot isolation over the shared block pool)."""
         cfg, sft, params, rng = setup
         mix = rng.standard_normal((10, 12)).astype(np.float32)
-        alone = ContinuousBatchingEngine(sft, params, num_slots=2,
-                                         max_cache_len=64, max_global=8,
-                                         max_semantic=16)
+        alone = make_engine(sft, params)
         r_alone = alone.run(
             [Request(task_id=0, mix_feats=mix, global_length=4,
                      semantic_length=6, do_sample=False, uid=7)],
             jax.random.PRNGKey(0),
         )[7]
 
-        busy = ContinuousBatchingEngine(sft, params, num_slots=2,
-                                        max_cache_len=64, max_global=8,
-                                        max_semantic=16)
+        busy = make_engine(sft, params)
         other = Request(task_id=1,
                         mix_feats=rng.standard_normal((10, 12)).astype(np.float32),
                         enroll_feats=rng.standard_normal((8, 12)).astype(np.float32),
@@ -96,65 +147,182 @@ class TestEngine:
         np.testing.assert_array_equal(r_alone.global_ids, r_busy.global_ids)
         np.testing.assert_array_equal(r_alone.semantic_ids, r_busy.semantic_ids)
 
+    def test_per_request_sampling_params(self, setup):
+        """top_k=1 sampling is argmax: a do_sample request with top_k=1 must
+        reproduce the greedy result even while a co-tenant samples with
+        different per-slot params (the round-1 engine hardcoded
+        temperature=0.8/top_k=50/top_p=0.95 for every slot)."""
+        cfg, sft, params, rng = setup
+        mix = rng.standard_normal((10, 12)).astype(np.float32)
+
+        eng = make_engine(sft, params)
+        greedy = eng.run(
+            [Request(task_id=0, mix_feats=mix, global_length=4,
+                     semantic_length=6, do_sample=False, uid=1)],
+            jax.random.PRNGKey(0),
+        )[1]
+
+        eng2 = make_engine(sft, params)
+        reqs = [
+            Request(task_id=0, mix_feats=mix, global_length=4,
+                    semantic_length=6, do_sample=True, top_k=1,
+                    temperature=2.5, top_p=0.3, uid=1),
+            Request(task_id=2,
+                    mix_feats=rng.standard_normal((10, 12)).astype(np.float32),
+                    enroll_feats=rng.standard_normal((8, 12)).astype(np.float32),
+                    global_length=4, semantic_length=6, do_sample=True,
+                    temperature=1.3, top_k=5, top_p=0.9, uid=2),
+        ]
+        results = eng2.run(reqs, jax.random.PRNGKey(1))
+        np.testing.assert_array_equal(results[1].global_ids, greedy.global_ids)
+        np.testing.assert_array_equal(results[1].semantic_ids,
+                                      greedy.semantic_ids)
+
+    def test_block_pool_recycling(self, setup):
+        """A pool with blocks for only ~one request still completes a longer
+        stream: blocks are released at harvest and reused."""
+        cfg, sft, params, rng = setup
+        eng = make_engine(sft, params, num_blocks=8)  # 7 usable blocks
+        reqs = [Request(task_id=0,
+                        mix_feats=rng.standard_normal((10, 12)).astype(np.float32),
+                        global_length=4, semantic_length=6, do_sample=False,
+                        uid=u) for u in range(4)]
+        results = eng.run(reqs, jax.random.PRNGKey(0))
+        assert sorted(results) == [0, 1, 2, 3]
+        assert len(eng.allocator.free) == 7
+
+    def test_admit_validation(self, setup):
+        cfg, sft, params, rng = setup
+        eng = make_engine(sft, params)
+        mix = rng.standard_normal((10, 12)).astype(np.float32)
+        base = dict(task_id=0, mix_feats=mix, uid=0)
+        key = jax.random.PRNGKey(0)
+        with pytest.raises(ValueError):
+            eng.admit(Request(global_length=99, **base), key)
+        with pytest.raises(ValueError):
+            eng.admit(Request(semantic_length=99, **base), key)
+        with pytest.raises(ValueError):
+            eng.admit(Request(temperature=0.0, **base), key)
+        with pytest.raises(ValueError):
+            eng.admit(Request(top_p=0.0, **base), key)
+        with pytest.raises(ValueError):
+            eng.admit(Request(top_k=0, **base), key)
+        with pytest.raises(ValueError):
+            eng.admit(Request(
+                task_id=0, uid=0,
+                mix_feats=rng.standard_normal((99, 12)).astype(np.float32)),
+                key)
+
+
+class TestSampleLogitsVec:
+    def test_matches_scalar_path(self):
+        """Per-row sampler == the scalar sampler when every row shares the
+        same params and key."""
+        rng = np.random.default_rng(1)
+        logits = jnp.asarray(rng.standard_normal((4, 51)).astype(np.float32))
+        key = jax.random.PRNGKey(5)
+        for temp, k, p in [(0.8, 50, 0.95), (1.0, 5, 0.5), (2.0, 1, 1.0)]:
+            want = jax.vmap(
+                lambda kk, l: sample_logits(kk, l[None], temperature=temp,
+                                            top_k=k, top_p=p)[0]
+            )(jnp.stack([key] * 4), logits)
+            got = sample_logits_vec(
+                jnp.stack([key] * 4), logits,
+                jnp.full((4,), temp), jnp.full((4,), k, jnp.int32),
+                jnp.full((4,), p), jnp.ones((4,), bool), max_top_k=64,
+            )
+            np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+    def test_greedy_rows(self):
+        rng = np.random.default_rng(2)
+        logits = jnp.asarray(rng.standard_normal((3, 20)).astype(np.float32))
+        keys = jnp.stack([jax.random.PRNGKey(i) for i in range(3)])
+        got = sample_logits_vec(
+            keys, logits, jnp.full((3,), 0.7),
+            jnp.full((3,), 5, jnp.int32), jnp.full((3,), 0.9),
+            jnp.zeros((3,), bool),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got), np.argmax(np.asarray(logits), -1))
+
 
 class TestPagedKV:
-    def test_matches_dense_cache(self, setup):
-        """Paged decode over a block pool == the dense static-cache path."""
-        from unified_audio_tpu.models.lm.llama import LlamaBackbone, init_cache
+    def test_paged_decode_matches_dense(self, setup):
+        """paged_decode_ids over a block pool == the dense static-cache
+        decode path, token by token with per-slot positions."""
         from unified_audio_tpu.serve.paged import (
-            BlockAllocator, init_pool, paged_decode_step,
+            BlockAllocator, init_pool, paged_decode_ids,
         )
 
         cfg, sft, params, rng = setup
-        backbone = LlamaBackbone(cfg)
-        bb_params = params["params"]["lm"]["backbone"]
+        lm_params = params["params"]["lm"]
+        from unified_audio_tpu.models.lm.llama import CodecLM, init_cache
 
-        t = 10
-        embeds = jnp.asarray(
-            rng.standard_normal((1, t, cfg.hidden_size)).astype(np.float32)
-        )
+        lm = CodecLM(cfg)
+        n_slots, bs, max_blocks = 3, 4, 4
+        ids0 = jnp.asarray(rng.integers(0, cfg.vocab_size, (n_slots,)),
+                           jnp.int32)
 
-        # dense reference: token-by-token through the static cache
-        cache = init_cache(cfg, 1, 16)
-        dense_out = []
-        for i in range(t):
-            h, cache = backbone.apply(
-                {"params": bb_params}, embeds[:, i : i + 1], cache,
-                method="decode_step",
-            )
-            dense_out.append(h)
-        dense = jnp.concatenate(dense_out, axis=1)
+        # dense reference with per-slot positions
+        cache = init_cache(cfg, n_slots, bs * max_blocks)
+        cache["index"] = jnp.zeros((n_slots,), jnp.int32)
+        dense_logits = []
+        ids = ids0
+        for i in range(6):
+            logits, cache = lm.apply({"params": lm_params}, ids, cache,
+                                     method="decode_ids_multi")
+            ids = jnp.argmax(logits, -1).astype(jnp.int32)
+            dense_logits.append(logits)
 
-        # paged: block size 4, blocks allocated on demand
-        block_size, max_blocks = 4, 4
-        alloc = BlockAllocator(num_blocks=8)
-        pool = init_pool(cfg, num_blocks=8, block_size=block_size)
-        table = np.zeros(max_blocks, np.int32)
-        n_alloc = 0
-        paged_out = []
-        for i in range(t):
-            if i // block_size >= n_alloc:
-                table[n_alloc] = alloc.alloc(1)[0]
-                n_alloc += 1
-            h, pool = paged_decode_step(
-                cfg, bb_params, pool, jnp.asarray(table), jnp.asarray(i),
-                embeds[:, i : i + 1], block_size=block_size,
-            )
-            paged_out.append(h)
-        paged = jnp.concatenate(paged_out, axis=1)
+        alloc = BlockAllocator(1 + n_slots * max_blocks)
+        pool = init_pool(cfg, 1 + n_slots * max_blocks, bs)
+        tables = jnp.asarray(
+            np.stack([alloc.alloc(max_blocks) for _ in range(n_slots)]),
+            jnp.int32)
+        index = jnp.zeros((n_slots,), jnp.int32)
+        active = jnp.ones((n_slots,), bool)
+        ids = ids0
+        for i in range(6):
+            logits, pool = paged_decode_ids(cfg, lm_params, pool, tables,
+                                            index, active, ids, bs)
+            ids = jnp.argmax(logits, -1).astype(jnp.int32)
+            index = index + 1
+            np.testing.assert_allclose(np.asarray(dense_logits[i]),
+                                       np.asarray(logits), atol=2e-4)
 
-        np.testing.assert_allclose(
-            np.asarray(dense), np.asarray(paged), atol=2e-4
-        )
+    def test_inactive_slot_writes_trash_only(self, setup):
+        """An inactive slot with a stale table must not corrupt live blocks."""
+        from unified_audio_tpu.serve.paged import init_pool, paged_decode_ids
+
+        cfg, sft, params, rng = setup
+        lm_params = params["params"]["lm"]
+        bs = 4
+        pool = init_pool(cfg, 6, bs)
+        index = jnp.asarray([0, 0], jnp.int32)
+        active = jnp.asarray([True, False])
+        ids = jnp.asarray([1, 2], jnp.int32)
+        # (a) inactive slot 1 holds a STALE table pointing at slot 0's block 3
+        _, pool_a = paged_decode_ids(
+            cfg, lm_params, pool, jnp.asarray([[3, 4], [3, 5]], jnp.int32),
+            index, active, ids, bs)
+        # (b) inactive slot 1 points at trash
+        _, pool_b = paged_decode_ids(
+            cfg, lm_params, pool, jnp.asarray([[3, 4], [0, 0]], jnp.int32),
+            index, active, ids, bs)
+        # all live blocks identical regardless of the stale table
+        np.testing.assert_array_equal(np.asarray(pool_a["k"][:, 1:]),
+                                      np.asarray(pool_b["k"][:, 1:]))
+        np.testing.assert_array_equal(np.asarray(pool_a["v"][:, 1:]),
+                                      np.asarray(pool_b["v"][:, 1:]))
 
     def test_allocator(self):
         from unified_audio_tpu.serve.paged import BlockAllocator
 
-        a = BlockAllocator(4)
+        a = BlockAllocator(5)  # block 0 reserved
         b1 = a.alloc(3)
+        assert 0 not in b1
         assert len(b1) == 3 and len(a.free) == 1
         a.release(b1[:2])
         assert len(a.free) == 3
-        import pytest as _pytest
-        with _pytest.raises(RuntimeError):
+        with pytest.raises(RuntimeError):
             a.alloc(5)

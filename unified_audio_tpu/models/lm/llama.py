@@ -308,6 +308,50 @@ def sample_logits(
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 
+def sample_logits_vec(
+    keys,           # (B, 2) uint32 split key data, one per row
+    logits,         # (B, V) — already range-masked
+    temperature,    # (B,) float
+    top_k,          # (B,) int, 1 <= top_k <= max_top_k
+    top_p,          # (B,) float in (0, 1]
+    do_sample,      # (B,) bool
+    max_top_k: int = 256,
+) -> jnp.ndarray:
+    """Per-row-parameterized sampling for the continuous-batching engine.
+
+    Same semantics as :func:`sample_logits` (top-k, then top-p with the
+    reference's first-crossing-kept rule, then temperature), but temperature /
+    top_k / top_p vary per row: one ``lax.top_k`` with a static ``max_top_k``
+    covers every row's k via a per-row k-th threshold. Rows with
+    ``do_sample=False`` take the argmax. Returns (B,) int32.
+    """
+    b, v = logits.shape
+    kmax = min(max_top_k, v)
+    vals, _ = jax.lax.top_k(logits, kmax)  # (B, K) sorted descending
+    col = jnp.arange(kmax)[None]  # (1, K)
+    k_clamped = jnp.clip(top_k, 1, kmax)
+    kth = jnp.take_along_axis(vals, (k_clamped - 1)[:, None], axis=-1)  # (B,1)
+    filt = jnp.where(logits < kth, NEG_INF, logits)
+
+    # top-p over the per-row top-k entries only (entries beyond k contribute
+    # zero probability mass, so the cumsum matches the scalar path exactly)
+    vals_k = jnp.where(col < k_clamped[:, None], vals, NEG_INF)
+    cum = jnp.cumsum(jax.nn.softmax(vals_k, axis=-1), axis=-1)
+    remove_sorted = jnp.concatenate(
+        [jnp.zeros((b, 1), bool), (cum > top_p[:, None])[:, :-1]], axis=-1
+    )
+    kept_min = jnp.min(
+        jnp.where(remove_sorted, jnp.inf, vals_k), axis=-1, keepdims=True
+    )
+    filt = jnp.where(filt < kept_min, NEG_INF, filt)
+
+    sampled = jax.vmap(jax.random.categorical)(
+        keys, filt / temperature[:, None]
+    ).astype(jnp.int32)
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return jnp.where(do_sample, sampled, greedy)
+
+
 # ---------------------------------------------------------------------------
 # CustomLlamaModel equivalent
 # ---------------------------------------------------------------------------

@@ -45,7 +45,12 @@ class LLMSFT(nn.Module):
 
     def _prompt(self, task_id, enroll_feats, mix_feats):
         b = mix_feats.shape[0]
-        task = self.task_embedding(jnp.full((b, 1), task_id, jnp.int32))
+        # task_id: scalar (one task for the whole batch) or (B,) array
+        # (mixed-task batched admission in the serving engine)
+        task_ids = jnp.asarray(task_id, jnp.int32)
+        if task_ids.ndim == 0:
+            task_ids = jnp.full((b,), task_ids, jnp.int32)
+        task = self.task_embedding(task_ids.reshape(b, 1))
         mix = self.adapter(mix_feats)
         mix_sos = jnp.broadcast_to(
             self.mix_sos_embedding[None], (b, 1, self.cfg.hidden_size)

@@ -1,29 +1,46 @@
-"""Continuous-batched AR decode engine for UniSE serving.
+"""Continuous-batched AR decode engine for UniSE serving (paged KV cache).
 
 The BASELINE north star: "decoder-only AR-LM ... runs continuous-batched TPU
 decode with a paged KV cache; mixed-task requests saturate the MXU instead of
 running per-task Python loops."
 
-Design: a fixed pool of S slots, each owning a static-shape KV cache lane.
-``admit()`` prefills a request's prompt into a free slot (one jitted program
-per prompt length); ``step()`` advances ALL active slots one token in a single
-jitted program — per-slot decode phase (global vs semantic vocab range),
-per-slot cache positions, per-slot RNG. Finished slots are harvested and
-refilled without stopping the pool. Task identity is just an embedding row
-(llm_sft.py:29,60), so SE / TSE / rTSE requests mix freely in one batch.
+Design: a fixed pool of S slots. KV lives in a shared block pool
+(serve/paged.py); each slot owns a block table sized to its request, so
+memory scales with tokens actually cached. ``admit_many()`` prefills a WAVE
+of requests in one dispatch — prompts are padded to static length buckets
+(compile-once per signature), mixed tasks batch together (task identity is
+just an embedding row, llm_sft.py:29,60), and the prefilled KV is scattered
+straight into the pool inside the same program. ``step()`` advances ALL
+active slots one token per step in a single lax.scan'd program with
+per-slot cache positions, per-slot RNG, and PER-REQUEST sampling params
+(temperature / top_k / top_p vectorized over slots). Finished slots are
+harvested and their blocks released without stopping the pool.
+
+Prompt padding correctness: padded positions sit strictly to the RIGHT of
+every real token (enroll/mix segments are compacted left in-graph before
+prefill), so causal attention never sees a pad key, RoPE positions of real
+tokens are contiguous from 0 (exactly the unpadded layout), and the garbage
+KV written at positions >= true_len is overwritten by each decode step
+before it ever becomes visible (the step at index i rewrites position i and
+attends key_pos <= i). The paged path is therefore numerically identical to
+``LLMSFT.generate`` (tests/test_engine.py pins greedy equivalence).
 """
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 from functools import partial
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..models.lm.llama import LlamaConfig, init_cache, range_mask, sample_logits
+from ..models.lm.llama import (LlamaConfig, init_cache, range_mask,
+                               sample_logits_vec)
 from ..models.lm.sft import LLMSFT
+from .paged import (TRASH_BLOCK, BlockAllocator, init_pool, paged_decode_ids,
+                    scatter_prefill)
 
 PHASE_GLOBAL, PHASE_SEMANTIC, PHASE_DONE = 0, 1, 2
 
@@ -49,94 +66,147 @@ class Result:
     semantic_ids: np.ndarray
 
 
+def _pick_bucket(n: int, buckets: Sequence[int], what: str) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"{what} length {n} exceeds largest bucket {buckets[-1]}")
+
+
 class ContinuousBatchingEngine:
+    """Slot-pool continuous batching over a paged KV block pool."""
+
     def __init__(
         self,
         sft: LLMSFT,
         params,
         num_slots: int = 8,
-        max_cache_len: int = 1024,
+        block_size: int = 64,
+        num_blocks: Optional[int] = None,
         max_global: int = 32,
         max_semantic: int = 256,
+        mix_buckets: Sequence[int] = (64, 128, 256, 320),
+        enroll_buckets: Optional[Sequence[int]] = None,
+        max_top_k: int = 256,
+        dtype=None,
     ):
         self.sft = sft
-        self.cfg = sft.cfg
+        self.cfg = cfg = sft.cfg
+        if dtype is not None:
+            params = jax.tree_util.tree_map(
+                lambda p: p.astype(dtype)
+                if jnp.issubdtype(p.dtype, jnp.floating) else p,
+                params,
+            )
         self.params = params
+        self.kv_dtype = params["params"]["lm"]["codec_embedding"][
+            "embedding"].dtype
         self.num_slots = num_slots
-        self.max_cache_len = max_cache_len
+        self.block_size = block_size
         self.max_global = max_global
         self.max_semantic = max_semantic
+        self.mix_buckets = tuple(sorted(mix_buckets))
+        self.enroll_buckets = tuple(sorted(enroll_buckets or mix_buckets))
+        self.max_top_k = max_top_k
 
-        cfg = self.cfg
-        # ONE batched cache over the slot axis with per-slot positions:
-        # (L, S, max_len, H, hd) + index (S,). Decoding the pool is a single
-        # real batch (decode_ids_multi), not a vmap of batch-1 programs.
-        base = init_cache(cfg, num_slots, max_cache_len)
-        self.cache = {"k": base["k"], "v": base["v"],
-                      "index": jnp.zeros((num_slots,), jnp.int32)}
-        self.state = {
-            "phase": jnp.full((num_slots,), PHASE_DONE, jnp.int32),
-            "steps_in_phase": jnp.zeros((num_slots,), jnp.int32),
-            "global_len": jnp.zeros((num_slots,), jnp.int32),
-            "semantic_len": jnp.zeros((num_slots,), jnp.int32),
-            "last_ids": jnp.zeros((num_slots,), jnp.int32),
-            "rng": jnp.zeros((num_slots, 2), jnp.uint32),
-            "do_sample": jnp.zeros((num_slots,), jnp.bool_),
-            "out_global": jnp.zeros((num_slots, max_global), jnp.int32),
-            "out_semantic": jnp.zeros((num_slots, max_semantic), jnp.int32),
-        }
+        # table width: enough logical blocks for the largest possible request
+        max_prompt = 3 + self.enroll_buckets[-1] + self.mix_buckets[-1]
+        max_tokens = max_prompt + max_global + 1 + max_semantic + 1
+        self.max_blocks = math.ceil(max_tokens / block_size)
+        if num_blocks is None:
+            num_blocks = 1 + num_slots * self.max_blocks  # +1: trash block
+        self.num_blocks = num_blocks
+
+        self.pool = init_pool(cfg, num_blocks, block_size, dtype=self.kv_dtype)
+        self.allocator = BlockAllocator(num_blocks)
+        self._slot_blocks: List[List[int]] = [[] for _ in range(num_slots)]
         self._uids: List[Optional[int]] = [None] * num_slots
+        self._phase_cache: Optional[np.ndarray] = None
+
+        s = num_slots
+        self.state = {
+            "phase": jnp.full((s,), PHASE_DONE, jnp.int32),
+            "steps_in_phase": jnp.zeros((s,), jnp.int32),
+            "global_len": jnp.zeros((s,), jnp.int32),
+            "semantic_len": jnp.zeros((s,), jnp.int32),
+            "last_ids": jnp.zeros((s,), jnp.int32),
+            "rng": jnp.zeros((s, 2), jnp.uint32),
+            "do_sample": jnp.zeros((s,), jnp.bool_),
+            "temperature": jnp.ones((s,), jnp.float32),
+            "top_k": jnp.ones((s,), jnp.int32),
+            "top_p": jnp.ones((s,), jnp.float32),
+            "index": jnp.zeros((s,), jnp.int32),
+            "block_tables": jnp.full((s, self.max_blocks), TRASH_BLOCK,
+                                     jnp.int32),
+            "out_global": jnp.zeros((s, max_global), jnp.int32),
+            "out_semantic": jnp.zeros((s, max_semantic), jnp.int32),
+        }
 
         gmask = range_mask(cfg, cfg.global_offset, cfg.global_size)
         smask = range_mask(cfg, cfg.semantic_offset, cfg.semantic_size)
+        kv_dtype, bs, mb = self.kv_dtype, block_size, self.max_blocks
 
-        @partial(jax.jit, static_argnames=("task_static", "with_enroll"))
-        def _prefill(params, task_static, with_enroll, mix_feats, enroll_feats):
-            """-> fresh single-slot cache after prompt prefill."""
-            cache = init_cache(cfg, 1, max_cache_len)
+        @partial(jax.jit, static_argnames=("with_enroll",),
+                 donate_argnums=(1, 2))
+        def _prefill_insert(params, pool, state, with_enroll, slot_ids,
+                            tables, task_ids, mix_feats, enroll_feats,
+                            n_head, true_total, glens, slens, rngs,
+                            do_samples, temps, top_ks, top_ps):
+            """Prefill a wave of B prompts and insert them into the pool +
+            state in ONE dispatched program (no per-request host syncs)."""
             prompt = self.sft.apply(
-                params, task_static,
-                enroll_feats[None] if with_enroll else None,
-                mix_feats[None], method="_prompt",
-            )
+                params, task_ids,
+                enroll_feats if with_enroll else None, mix_feats,
+                method="_prompt",
+            )  # (B, La, D) — assembled with bucket-padded segments
+            b_wave, la, _ = prompt.shape
+            if with_enroll:
+                # compact real tokens left: enroll pad sits between the
+                # enroll and mix segments; gather real positions contiguous
+                # so RoPE/cache layout matches the unpadded prompt exactly
+                le_b = enroll_feats.shape[1]
+                t = jnp.arange(la)[None]
+                src = jnp.where(t < n_head[:, None], t,
+                                t - n_head[:, None] + 2 + le_b)
+                src = jnp.clip(src, 0, la - 1)
+                prompt = jnp.take_along_axis(prompt, src[..., None], axis=1)
+
+            cache = init_cache(cfg, b_wave, la, dtype=kv_dtype)
             _, cache = self.sft.apply(
-                params, prompt, cache,
+                params, prompt.astype(kv_dtype), cache,
                 method=lambda m, p, c: m.lm.prefill(p, c),
             )
-            return cache
+            pool = scatter_prefill(pool, tables, cache["k"], cache["v"], bs)
 
-        @jax.jit
-        def _insert(cache_all, state, slot, new_cache, global_len,
-                    semantic_len, rng, do_sample):
-            cache_all = dict(cache_all)
-            # new_cache is a batch-1 prefilled cache: write its lane into slot
-            cache_all["k"] = cache_all["k"].at[:, slot].set(new_cache["k"][:, 0])
-            cache_all["v"] = cache_all["v"].at[:, slot].set(new_cache["v"][:, 0])
-            cache_all["index"] = cache_all["index"].at[slot].set(
-                new_cache["index"]
-            )
-            state = dict(state)
-            state["phase"] = state["phase"].at[slot].set(PHASE_GLOBAL)
-            state["steps_in_phase"] = state["steps_in_phase"].at[slot].set(0)
-            state["global_len"] = state["global_len"].at[slot].set(global_len)
-            state["semantic_len"] = state["semantic_len"].at[slot].set(semantic_len)
-            state["last_ids"] = state["last_ids"].at[slot].set(cfg.global_sos)
-            state["rng"] = state["rng"].at[slot].set(rng)
-            state["do_sample"] = state["do_sample"].at[slot].set(do_sample)
-            state["out_global"] = state["out_global"].at[slot].set(0)
-            state["out_semantic"] = state["out_semantic"].at[slot].set(0)
-            return cache_all, state
+            st = dict(state)
 
-        def _step_body(params, cache_all, state):
+            def upd(name, vals):
+                st[name] = st[name].at[slot_ids].set(vals, mode="drop")
+
+            upd("block_tables", tables)
+            upd("index", true_total)
+            upd("phase", jnp.full((b_wave,), PHASE_GLOBAL, jnp.int32))
+            upd("steps_in_phase", jnp.zeros((b_wave,), jnp.int32))
+            upd("global_len", glens)
+            upd("semantic_len", slens)
+            upd("last_ids", jnp.full((b_wave,), cfg.global_sos, jnp.int32))
+            upd("rng", rngs)
+            upd("do_sample", do_samples)
+            upd("temperature", temps)
+            upd("top_k", top_ks)
+            upd("top_p", top_ps)
+            upd("out_global", jnp.zeros((b_wave, max_global), jnp.int32))
+            upd("out_semantic", jnp.zeros((b_wave, max_semantic), jnp.int32))
+            return pool, st
+
+        def _step_body(lm_params, pool, state):
             phase = state["phase"]
             active = phase != PHASE_DONE
 
-            # one REAL batched decode step for the whole pool (per-slot
-            # cache positions via decode_ids_multi)
-            logits, new_cache = self.sft.apply(
-                params, state["last_ids"], cache_all,
-                method=lambda m, i, c: m.lm.decode_ids_multi(i, c),
-            )  # (S, V)
+            logits, pool = paged_decode_ids(
+                cfg, lm_params, pool, state["block_tables"], state["index"],
+                active, state["last_ids"], bs,
+            )  # (S, V) fp32
 
             mask = jnp.where(
                 (phase == PHASE_GLOBAL)[:, None], gmask[None], smask[None]
@@ -145,41 +215,34 @@ class ContinuousBatchingEngine:
                 state["rng"], 2
             )  # (S, 2, 2)
             step_keys, next_rngs = rngs[:, 0], rngs[:, 1]
-            sampled = jax.vmap(
-                lambda k, l: sample_logits(k, l[None], temperature=0.8,
-                                           top_k=50, top_p=0.95)[0]
-            )(step_keys, logits + mask)
-            greedy = jnp.argmax(logits + mask, axis=-1).astype(jnp.int32)
-            tokens = jnp.where(state["do_sample"], sampled, greedy)
+            tokens = sample_logits_vec(
+                step_keys, logits + mask,
+                state["temperature"], state["top_k"], state["top_p"],
+                state["do_sample"], max_top_k=self.max_top_k,
+            )
 
             steps = state["steps_in_phase"]
             in_global = phase == PHASE_GLOBAL
             in_semantic = phase == PHASE_SEMANTIC
+            rows = jnp.arange(self.num_slots)
 
             # write outputs. Phase-1 emits global_len+1 tokens; the final one
             # is discarded-but-cached (llm_sft.py:139-164 quirk), so only
             # steps < global_len are stored.
             write_g = in_global & (steps < state["global_len"]) & active
-            out_global = state["out_global"].at[
-                jnp.arange(self.num_slots), jnp.minimum(steps, max_global - 1)
-            ].set(
-                jnp.where(write_g,
-                          tokens - cfg.global_offset,
-                          state["out_global"][jnp.arange(self.num_slots),
-                                              jnp.minimum(steps, max_global - 1)])
+            g_idx = jnp.minimum(steps, max_global - 1)
+            out_global = state["out_global"].at[rows, g_idx].set(
+                jnp.where(write_g, tokens - cfg.global_offset,
+                          state["out_global"][rows, g_idx])
             )
             write_s = in_semantic & active
-            sem_idx = jnp.minimum(steps, max_semantic - 1)
-            out_semantic = state["out_semantic"].at[
-                jnp.arange(self.num_slots), sem_idx
-            ].set(
+            s_idx = jnp.minimum(steps, max_semantic - 1)
+            out_semantic = state["out_semantic"].at[rows, s_idx].set(
                 jnp.where(write_s, tokens - cfg.semantic_offset,
-                          state["out_semantic"][jnp.arange(self.num_slots),
-                                                sem_idx])
+                          state["out_semantic"][rows, s_idx])
             )
 
             steps_next = steps + 1
-            # phase transitions
             finish_global = in_global & (steps_next == state["global_len"] + 1)
             finish_semantic = in_semantic & (steps_next == state["semantic_len"])
             new_phase = jnp.where(finish_global, PHASE_SEMANTIC, phase)
@@ -195,80 +258,207 @@ class ContinuousBatchingEngine:
             new_state["steps_in_phase"] = jnp.where(active, new_steps, steps)
             new_state["last_ids"] = next_ids
             new_state["rng"] = next_rngs
+            new_state["index"] = jnp.where(active, state["index"] + 1,
+                                           state["index"])
             new_state["out_global"] = out_global
             new_state["out_semantic"] = out_semantic
-
-            # inactive slots must not corrupt their caches: restore the old
-            # cache content for them (slot axis is axis 1 of the k/v buffers)
-            act_kv = active[None, :, None, None, None]
-            cache_out = {
-                "k": jnp.where(act_kv, new_cache["k"], cache_all["k"]),
-                "v": jnp.where(act_kv, new_cache["v"], cache_all["v"]),
-                "index": jnp.where(active, new_cache["index"],
-                                   cache_all["index"]),
-            }
-            return cache_out, new_state
+            # pool needs no inactive-slot restore: inactive slots scatter
+            # into the reserved trash block (paged.py), never into live data
+            return pool, new_state
 
         @partial(jax.jit, static_argnames=("n",), donate_argnums=(1, 2))
-        def _step_n(params, cache_all, state, n=1):
+        def _step_n(lm_params, pool, state, n=1):
             """n decode steps for the whole pool as ONE dispatched lax.scan —
             per-step host round trips dominate on remote-attached chips."""
             def body(carry, _):
-                cache_all, state = carry
-                return _step_body(params, cache_all, state), None
+                pool, state = carry
+                return _step_body(lm_params, pool, state), None
 
-            (cache_all, state), _ = jax.lax.scan(
-                body, (cache_all, state), None, length=n
-            )
-            return cache_all, state
+            (pool, state), _ = jax.lax.scan(body, (pool, state), None,
+                                            length=n)
+            return pool, state
 
-        self._prefill = _prefill
-        self._insert = _insert
+        self._prefill_insert = _prefill_insert
         self._step_n = _step_n
 
     # --- host-side API ---
 
-    def free_slots(self) -> List[int]:
-        phase = np.asarray(self.state["phase"])
-        return [i for i in range(self.num_slots) if phase[i] == PHASE_DONE]
+    def _phase_host(self) -> np.ndarray:
+        """Fetch the phase vector once per step/admit cycle: every device ->
+        host read is a full round trip on remote-attached chips, so harvest()
+        and free_slots() share one cached fetch."""
+        if self._phase_cache is None:
+            self._phase_cache = np.asarray(self.state["phase"])
+        return self._phase_cache
 
-    def admit(self, req: Request, rng) -> int:
+    def free_slots(self) -> List[int]:
+        phase = self._phase_host()
+        return [i for i in range(self.num_slots)
+                if phase[i] == PHASE_DONE and self._uids[i] is None]
+
+    def validate(self, req: Request) -> None:
+        """Static-cap validation: reject requests that can never run, loudly,
+        instead of silently clamping scatter indices (reference behavior has
+        no server mode; caps here are the engine's static shapes)."""
+        if not (1 <= req.global_length <= self.max_global):
+            raise ValueError(
+                f"global_length {req.global_length} not in [1, {self.max_global}]")
+        if not (1 <= req.semantic_length <= self.max_semantic):
+            raise ValueError(
+                f"semantic_length {req.semantic_length} not in "
+                f"[1, {self.max_semantic}]")
+        if req.temperature <= 0:
+            raise ValueError(f"temperature must be > 0, got {req.temperature}")
+        if not (0 < req.top_p <= 1.0):
+            raise ValueError(f"top_p must be in (0, 1], got {req.top_p}")
+        if not (1 <= req.top_k <= self.max_top_k):
+            raise ValueError(
+                f"top_k {req.top_k} not in [1, {self.max_top_k}]")
+        _pick_bucket(req.mix_feats.shape[0], self.mix_buckets, "mix")
+        if req.enroll_feats is not None:
+            _pick_bucket(req.enroll_feats.shape[0], self.enroll_buckets,
+                         "enroll")
+
+    def _signature(self, req: Request):
+        mix_b = _pick_bucket(req.mix_feats.shape[0], self.mix_buckets, "mix")
+        enr_b = (_pick_bucket(req.enroll_feats.shape[0], self.enroll_buckets,
+                              "enroll")
+                 if req.enroll_feats is not None else None)
+        return mix_b, enr_b
+
+    def admit_many(self, reqs: List[Request], rng) -> List[int]:
+        """Admit as many requests as slots + pool blocks allow; returns the
+        uids admitted. Requests violating static caps raise ValueError."""
+        for r in reqs:
+            self.validate(r)
         slots = self.free_slots()
-        if not slots:
-            raise RuntimeError("no free slot")
-        slot = slots[0]
-        # harvest anything still recorded in that slot first
-        new_cache = self._prefill(
-            self.params, req.task_id, req.enroll_feats is not None,
-            jnp.asarray(req.mix_feats),
-            jnp.asarray(req.enroll_feats)
-            if req.enroll_feats is not None
-            else jnp.zeros((1, req.mix_feats.shape[-1]), jnp.float32),
-        )
-        self.cache, self.state = self._insert(
-            self.cache, self.state, slot, new_cache,
-            req.global_length, req.semantic_length,
-            jax.random.key_data(rng) if hasattr(jax.random, "key_data") else rng,
-            req.do_sample,
-        )
-        self._uids[slot] = req.uid
-        return slot
+        if not slots or not reqs:
+            return []
+        take = reqs[: len(slots)]
+
+        groups: Dict[tuple, List[Request]] = {}
+        for r in take:
+            groups.setdefault(self._signature(r), []).append(r)
+
+        admitted: List[int] = []
+        feats_dim = self.sft.feats_dim
+        for (mix_b, enr_b), group in groups.items():
+            # drop group members that don't fit the remaining block budget
+            fitting: List[tuple] = []  # (req, n_blocks)
+            budget = len(self.allocator.free)
+            la = 2 + mix_b + (1 + enr_b if enr_b is not None else 0)
+            for r in group:
+                true_total = (2 + r.mix_feats.shape[0]
+                              + (1 + r.enroll_feats.shape[0]
+                                 if enr_b is not None else 0))
+                need_tokens = max(
+                    la, true_total + r.global_length + 1 + r.semantic_length)
+                n_blk = math.ceil(need_tokens / self.block_size)
+                if n_blk <= budget:
+                    fitting.append((r, n_blk, true_total))
+                    budget -= n_blk
+            if not fitting:
+                continue
+
+            b = len(fitting)
+            # fixed wave size: ONE prefill program per (mix, enroll) bucket
+            # signature for the engine's lifetime. Padded rows cost negligible
+            # prefill compute but mid-run recompiles cost 6-8 s each on
+            # remote-compiled backends (CLAUDE.md #3).
+            b_pad = self.num_slots
+            mix = np.zeros((b_pad, mix_b, feats_dim), np.float32)
+            enroll = np.zeros((b_pad, enr_b if enr_b is not None else 1,
+                               feats_dim), np.float32)
+            slot_ids = np.full((b_pad,), self.num_slots, np.int32)  # dropped
+            tables = np.full((b_pad, self.max_blocks), TRASH_BLOCK, np.int32)
+            task_ids = np.zeros((b_pad,), np.int32)
+            n_head = np.zeros((b_pad,), np.int32)
+            true_totals = np.zeros((b_pad,), np.int32)
+            glens = np.ones((b_pad,), np.int32)
+            slens = np.ones((b_pad,), np.int32)
+            rngs = np.zeros((b_pad, 2), np.uint32)
+            do_samples = np.zeros((b_pad,), np.bool_)
+            temps = np.ones((b_pad,), np.float32)
+            top_ks = np.ones((b_pad,), np.int32)
+            top_ps = np.ones((b_pad,), np.float32)
+
+            free = self.free_slots()
+            for i, (r, n_blk, true_total) in enumerate(fitting):
+                slot = free[0]
+                free = free[1:]
+                blocks = self.allocator.alloc(n_blk)
+                self._slot_blocks[slot] = blocks
+                self._uids[slot] = r.uid
+                slot_ids[i] = slot
+                tables[i, : n_blk] = blocks
+                task_ids[i] = r.task_id
+                mix[i, : r.mix_feats.shape[0]] = r.mix_feats
+                if enr_b is not None:
+                    enroll[i, : r.enroll_feats.shape[0]] = r.enroll_feats
+                n_head[i] = 2 + (r.enroll_feats.shape[0]
+                                 if enr_b is not None else 0)
+                true_totals[i] = true_total
+                glens[i] = r.global_length
+                slens[i] = r.semantic_length
+                rng, sub = jax.random.split(rng)
+                rngs[i] = np.asarray(jax.random.key_data(sub)).astype(
+                    np.uint32)
+                do_samples[i] = r.do_sample
+                temps[i] = r.temperature
+                top_ks[i] = r.top_k
+                top_ps[i] = r.top_p
+                admitted.append(r.uid)
+
+            self.pool, self.state = self._prefill_insert(
+                self.params, self.pool, self.state,
+                with_enroll=enr_b is not None,
+                slot_ids=jnp.asarray(slot_ids),
+                tables=jnp.asarray(tables),
+                task_ids=jnp.asarray(task_ids),
+                mix_feats=jnp.asarray(mix),
+                enroll_feats=jnp.asarray(enroll),
+                n_head=jnp.asarray(n_head),
+                true_total=jnp.asarray(true_totals),
+                glens=jnp.asarray(glens), slens=jnp.asarray(slens),
+                rngs=jnp.asarray(rngs),
+                do_samples=jnp.asarray(do_samples),
+                temps=jnp.asarray(temps),
+                top_ks=jnp.asarray(top_ks), top_ps=jnp.asarray(top_ps),
+            )
+            self._phase_cache = None
+        return admitted
+
+    def admit(self, req: Request, rng) -> bool:
+        return bool(self.admit_many([req], rng))
 
     def step(self, n: int = 1):
-        self.cache, self.state = self._step_n(self.params, self.cache,
-                                              self.state, n=n)
+        lm_params = self.params["params"]["lm"]
+        self.pool, self.state = self._step_n(lm_params, self.pool,
+                                             self.state, n=n)
+        self._phase_cache = None
 
     def harvest(self) -> List[Result]:
-        phase = np.asarray(self.state["phase"])
+        phase = self._phase_host()
+        done = [i for i in range(self.num_slots)
+                if phase[i] == PHASE_DONE and self._uids[i] is not None]
+        if not done:
+            return []
+        # one combined fetch for everything the finished slots need
+        rows = np.asarray(done)
+        data = jax.device_get({
+            "g": self.state["out_global"][rows],
+            "s": self.state["out_semantic"][rows],
+            "glen": self.state["global_len"][rows],
+            "slen": self.state["semantic_len"][rows],
+        })
         out = []
-        for i in range(self.num_slots):
-            if phase[i] == PHASE_DONE and self._uids[i] is not None:
-                g = np.asarray(self.state["out_global"][i])
-                s = np.asarray(self.state["out_semantic"][i])
-                glen = int(self.state["global_len"][i])
-                slen = int(self.state["semantic_len"][i])
-                out.append(Result(self._uids[i], g[:glen], s[:slen]))
-                self._uids[i] = None
+        for j, i in enumerate(done):
+            glen, slen = int(data["glen"][j]), int(data["slen"][j])
+            out.append(Result(self._uids[i], data["g"][j, :glen],
+                              data["s"][j, :slen]))
+            self._uids[i] = None
+            self.allocator.release(self._slot_blocks[i])
+            self._slot_blocks[i] = []
         return out
 
     def run(self, requests: List[Request], rng,
@@ -283,13 +473,18 @@ class ContinuousBatchingEngine:
         results: Dict[int, Result] = {}
         i = 0
         while pending or any(u is not None for u in self._uids):
-            while pending and self.free_slots():
+            if pending and self.free_slots():
                 rng, sub = jax.random.split(rng)
-                self.admit(pending.pop(0), sub)
+                admitted = set(self.admit_many(pending, sub))
+                if not admitted and not any(u is not None for u in self._uids):
+                    raise RuntimeError(
+                        "requests cannot be admitted (KV pool too small for "
+                        "any pending request)")
+                pending = [r for r in pending if r.uid not in admitted]
             self.step(n=poll_interval)
             for r in self.harvest():
                 results[r.uid] = r
             i += poll_interval
-            if i > 100000:
+            if i > 200000:
                 raise RuntimeError("engine did not converge")
         return results

@@ -1,21 +1,29 @@
-"""Paged KV cache: block-pool storage with per-sequence block tables.
+"""Paged KV cache: block-pool storage with per-slot block tables.
 
 The BASELINE north star calls for "continuous-batched TPU decode with a paged
-KV cache". The slot engine (engine.py) reserves max_len per slot; this module
-stores KV in fixed-size blocks from a shared pool, so memory scales with the
-tokens actually cached and mixed-length sequences pack tightly.
+KV cache". KV lives in fixed-size blocks of a shared physical pool; each
+serving slot owns a block table mapping logical block i -> physical block.
+Memory scales with the tokens actually cached, and mixed-length sequences
+pack tightly instead of each reserving ``max_cache_len``.
 
 Design (all static shapes, jit-friendly):
-* pool: {k, v}: (L, num_blocks, block_size, H, hd) — physical storage.
-* per sequence: block_table (max_blocks,) int32 mapping logical block i ->
-  physical block (allocated host-side), plus a length scalar.
-* ``paged_decode_step`` runs one token through the LlamaBackbone params: it
-  scatters the new K/V into the pool and attends over the gathered logical
-  view with a length mask. Verified equal to the dense-cache decode path.
+
+* pool: ``{k, v}``: (L, num_blocks, block_size, H, hd) — physical storage.
+* per slot: ``block_table`` (max_blocks,) int32 + a length scalar (the cache
+  index). Physical block 0 is a reserved TRASH block: inactive slots scatter
+  there, so stale block tables can never corrupt a live slot's blocks.
+* :func:`paged_decode_ids` advances ALL slots one token in one program:
+  embed -> lax.scan over the stacked layer parameters (ONE layer body in the
+  HLO, mirroring LlamaBackbone's nn.scan — see CLAUDE.md #3 on HLO size) ->
+  logits. Per layer it scatters each slot's new K/V into its current block
+  and attends over the gathered logical view with a per-slot length mask.
+  Verified equal to the dense static-cache path (tests/test_engine.py).
+
+Replaces the reference's HF DynamicCache Python decode loop
+(QuarkAudio-UniSE/model/llm/llm.py:150-227) with a static-shape TPU design.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, List
 
 import jax
@@ -23,6 +31,8 @@ import jax.numpy as jnp
 
 from ..models.lm.llama import NEG_INF, LlamaConfig
 from ..nn.transformer import apply_rope, rope_cos_sin
+
+TRASH_BLOCK = 0  # physical block 0 is never allocated; inactive slots write here
 
 
 def init_pool(cfg: LlamaConfig, num_blocks: int, block_size: int,
@@ -32,14 +42,16 @@ def init_pool(cfg: LlamaConfig, num_blocks: int, block_size: int,
 
 
 class BlockAllocator:
-    """Host-side free-list of physical blocks."""
+    """Host-side free-list of physical blocks (block 0 reserved as trash)."""
 
     def __init__(self, num_blocks: int):
-        self.free: List[int] = list(range(num_blocks))
+        self.free: List[int] = list(range(1, num_blocks))
 
     def alloc(self, n: int) -> List[int]:
         if len(self.free) < n:
-            raise RuntimeError("KV pool exhausted")
+            raise RuntimeError(
+                f"KV pool exhausted: need {n} blocks, {len(self.free)} free"
+            )
         out = self.free[:n]
         del self.free[:n]
         return out
@@ -53,64 +65,86 @@ def _rms(x, weight, eps=1e-6):
     return (x * jax.lax.rsqrt(var + eps)).astype(x.dtype) * weight
 
 
-@partial(jax.jit, static_argnames=("cfg", "block_size"))
-def paged_decode_step(cfg: LlamaConfig, params, pool, block_table, length,
-                      embeds, block_size: int = 64):
-    """One decode step for a single sequence over the paged pool.
+def paged_decode_ids(cfg: LlamaConfig, lm_params, pool, tables, index, active,
+                     ids, block_size: int):
+    """One batched decode step over the paged pool, per-slot cache positions.
 
-    params: LlamaBackbone variables["params"] (scan-stacked layers).
-    block_table (max_blocks,), length scalar, embeds (1, 1, D).
-    Returns (hidden (1, 1, D), new pool).
+    lm_params: the CodecLM param subtree (codec_embedding / backbone /
+    output_head) with nn.scan-stacked layers (leading L axis).
+    tables (S, max_blocks) int32, index (S,) int32, active (S,) bool,
+    ids (S,) int32. Returns (logits (S, V) float32, new pool).
+
+    Math mirrors LlamaBackbone.decode_step_multi exactly (fused qkv /
+    gate_up matmuls, fp32 attention logits+softmax) so the paged path is
+    numerically identical to the dense static cache.
     """
-    layers = params["layers"]
+    layers = lm_params["backbone"]["layers"]
     bs = block_size
-    max_blocks = block_table.shape[0]
-    max_len = max_blocks * bs
+    s_slots, max_blocks = tables.shape
+    view_len = max_blocks * bs
     h, hd = cfg.num_heads, cfg.head_dim
 
-    pos = length
-    cos, sin = rope_cos_sin(pos[None], cfg.head_dim, cfg.rope_theta)
-    key_pos = jnp.arange(max_len)
-    mask = jnp.where(key_pos <= pos, 0.0, NEG_INF)[None, None, None, :]
+    emb_table = lm_params["codec_embedding"]["embedding"]
+    x = emb_table[ids][:, None].astype(pool["k"].dtype)  # (S, 1, D)
 
-    blk = length // bs
-    off = length % bs
-    phys = block_table[blk]
+    cos, sin = rope_cos_sin(index[:, None], cfg.head_dim, cfg.rope_theta)
+    key_pos = jax.lax.broadcasted_iota(jnp.int32, (s_slots, view_len), 1)
+    mask = jnp.where(key_pos <= index[:, None], 0.0, NEG_INF)[:, None, None]
 
-    x = embeds
-    new_k_pool, new_v_pool = pool["k"], pool["v"]
-    for li in range(cfg.num_layers):
-        lp = jax.tree_util.tree_map(lambda p: p[li], layers)
+    # scatter target: each slot's current (block, offset); inactive slots are
+    # redirected to the trash block so stale tables cannot corrupt live data
+    blk = jnp.take_along_axis(tables, (index // bs)[:, None], axis=1)[:, 0]
+    blk = jnp.where(active, blk, TRASH_BLOCK)
+    off = jnp.where(active, index % bs, 0)
+
+    def layer_body(x, xs):
+        lp, k_buf, v_buf = xs
         hin = _rms(x, lp["input_layernorm"]["weight"])
         qkv = hin @ lp["self_attn"]["qkv_proj"]["kernel"]
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(1, 1, h, hd)
-        k = k.reshape(1, 1, h, hd)
-        v = v.reshape(1, 1, h, hd)
+        q = q.reshape(s_slots, 1, h, hd)
+        k = k.reshape(s_slots, 1, h, hd)
+        v = v.reshape(s_slots, 1, h, hd)
         q, k = apply_rope(q, k, cos, sin)
 
-        # scatter the new K/V into the pool at (layer, phys, off)
-        new_k_pool = jax.lax.dynamic_update_slice(
-            new_k_pool, k.astype(new_k_pool.dtype).reshape(1, 1, 1, h, hd),
-            (li, phys, off, 0, 0),
-        )
-        new_v_pool = jax.lax.dynamic_update_slice(
-            new_v_pool, v.astype(new_v_pool.dtype).reshape(1, 1, 1, h, hd),
-            (li, phys, off, 0, 0),
-        )
-        # gather the logical view and attend
-        k_all = new_k_pool[li][block_table].reshape(1, max_len, h, hd)
-        v_all = new_v_pool[li][block_table].reshape(1, max_len, h, hd)
+        k_buf = k_buf.at[blk, off].set(k[:, 0].astype(k_buf.dtype))
+        v_buf = v_buf.at[blk, off].set(v[:, 0].astype(v_buf.dtype))
+        k_all = k_buf[tables].reshape(s_slots, view_len, h, hd)
+        v_all = v_buf[tables].reshape(s_slots, view_len, h, hd)
+
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k_all).astype(jnp.float32)
         logits = logits * hd**-0.5 + mask
         probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-        attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v_all).reshape(1, 1, h * hd)
+        attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v_all)
+        attn = attn.reshape(s_slots, 1, h * hd)
         x = x + attn @ lp["self_attn"]["o_proj"]["kernel"]
 
         hmlp = _rms(x, lp["post_attention_layernorm"]["weight"])
         gate_up = hmlp @ lp["mlp"]["gate_up_proj"]["kernel"]
         gate, up = jnp.split(gate_up, 2, axis=-1)
         x = x + (jax.nn.silu(gate) * up) @ lp["mlp"]["down_proj"]["kernel"]
+        return x, (k_buf, v_buf)
 
-    x = _rms(x, params["norm"]["weight"])
-    return x, {"k": new_k_pool, "v": new_v_pool}
+    x, (new_k, new_v) = jax.lax.scan(
+        layer_body, x, (layers, pool["k"], pool["v"])
+    )
+    x = _rms(x, lm_params["backbone"]["norm"]["weight"])
+    logits = (x[:, 0] @ lm_params["output_head"]["kernel"]).astype(jnp.float32)
+    return logits, {"k": new_k, "v": new_v}
+
+
+def scatter_prefill(pool, tables, cache_k, cache_v, block_size: int):
+    """Write a dense prefilled cache into the paged pool.
+
+    cache_k/cache_v: (L, B, Lp, H, hd) from LlamaBackbone.prefill;
+    tables (B, max_blocks). Position p of row b lands in physical block
+    ``tables[b, p // bs]`` at offset ``p % bs``. Returns the new pool.
+    """
+    bs = block_size
+    lp_len = cache_k.shape[2]
+    pos = jnp.arange(lp_len)
+    blk = tables[:, pos // bs]  # (B, Lp)
+    off = jnp.broadcast_to(pos % bs, blk.shape)  # (B, Lp)
+    new_k = pool["k"].at[:, blk, off].set(cache_k.astype(pool["k"].dtype))
+    new_v = pool["v"].at[:, blk, off].set(cache_v.astype(pool["v"].dtype))
+    return {"k": new_k, "v": new_v}
