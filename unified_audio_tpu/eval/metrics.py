@@ -118,6 +118,231 @@ def stoi(est: np.ndarray, ref: np.ndarray, fs: int = 16000) -> float:
     return float(np.mean(corrs))
 
 
+# ---------------------------------------------------------------------------
+# PESQ (ITU-T P.862 perceptual model) + P.862.1 MOS-LQO mapping
+# ---------------------------------------------------------------------------
+
+def _bark_scale(f_hz: np.ndarray) -> np.ndarray:
+    """Zwicker & Terhardt critical-band rate (Bark)."""
+    return (13.0 * np.arctan(0.00076 * f_hz)
+            + 3.5 * np.arctan((f_hz / 7500.0) ** 2))
+
+
+def _bark_filterbank(fs: int, n_fft: int, num_bands: int):
+    """Rectangular Bark-band integration matrix (num_bands, n_fft//2+1) plus
+    per-band widths (in Bark) for norm weighting."""
+    f = np.linspace(0, fs / 2, n_fft // 2 + 1)
+    z = _bark_scale(f)
+    z_max = _bark_scale(np.array(fs / 2.0))
+    edges = np.linspace(0, float(z_max), num_bands + 1)
+    bank = np.zeros((num_bands, len(f)))
+    for i in range(num_bands):
+        sel = (z >= edges[i]) & (z < edges[i + 1])
+        if sel.any():
+            bank[i, sel] = 1.0 / sel.sum()  # mean power in band
+    widths = np.diff(edges)
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    return bank, widths, centers
+
+
+def _bark_hearing_threshold(centers_bark: np.ndarray) -> np.ndarray:
+    """Absolute hearing threshold per Bark band (power units, approximated
+    from the ISO 226 / Terhardt threshold-in-quiet curve)."""
+    # invert the Bark warp approximately to get center frequency
+    f = np.linspace(20, 20000, 4096)
+    z = _bark_scale(f)
+    cf = np.interp(centers_bark, z, f)
+    # Terhardt threshold in quiet (dB SPL)
+    thr_db = (3.64 * (cf / 1000.0) ** -0.8
+              - 6.5 * np.exp(-0.6 * (cf / 1000.0 - 3.3) ** 2)
+              + 1e-3 * (cf / 1000.0) ** 4)
+    return 10.0 ** (np.clip(thr_db, -20, 60) / 10.0)
+
+
+def pesq(est: np.ndarray, ref: np.ndarray, fs: int = 16000,
+         assume_aligned: bool = True) -> float:
+    """PESQ raw score following the ITU-T P.862 perceptual model.
+
+    Implements the standard's perceptual chain from scratch in numpy (the
+    reference pins the torch-pesq wheel, requirements.txt, not available in
+    this image): active-speech level alignment, 32 ms Hann frames at 50%
+    overlap, Bark-band power integration, partial frequency- and short-term
+    gain-compensation, Zwicker-law loudness transform, center-clipped
+    disturbance with asymmetry weighting, and the standard's two-stage
+    (L6 over 320 ms "syllables", L2 over time) aggregation into
+    ``4.5 - 0.1*D - 0.0309*DA``.
+
+    Deviations from the full standard (documented): no utterance-level
+    time-alignment search — codec round-trips and enhancement outputs from
+    this framework are sample-aligned by construction (``assume_aligned``);
+    the IRS receive filter is replaced by a 100 Hz high-pass; Bark bands are
+    uniform-width in Bark rather than the standard's table. Scores correlate
+    with, but are not bit-exact to, ITU reference PESQ; use for relative
+    comparisons and regression gating. Returns the raw P.862 score
+    (~[-0.5, 4.5]).
+    """
+    import scipy.signal
+
+    if not assume_aligned:
+        # crude integer alignment by cross-correlating envelopes
+        t = min(len(est), len(ref))
+        env_e = np.abs(scipy.signal.hilbert(est[:t]))
+        env_r = np.abs(scipy.signal.hilbert(ref[:t]))
+        lag = np.argmax(scipy.signal.correlate(env_e, env_r, "same")) - t // 2
+        if lag > 0:
+            est = est[lag:]
+        elif lag < 0:
+            ref = ref[-lag:]
+
+    t = min(len(est), len(ref))
+    est = est[:t].astype(np.float64)
+    ref = ref[:t].astype(np.float64)
+
+    # 100 Hz high-pass (stand-in for the IRS receive characteristic)
+    sos = scipy.signal.butter(4, 100.0, "highpass", fs=fs, output="sos")
+    est = scipy.signal.sosfilt(sos, est)
+    ref = scipy.signal.sosfilt(sos, ref)
+
+    # active-speech level alignment to a common target power
+    def active_power(x):
+        frame = int(0.032 * fs)
+        n = len(x) // frame
+        if n == 0:
+            return float(np.mean(x**2) + 1e-12)
+        p = (x[: n * frame].reshape(n, frame) ** 2).mean(-1)
+        thr = p.max() * 1e-4  # 40 dB activity threshold
+        act = p[p > thr]
+        return float(act.mean() if act.size else p.mean()) + 1e-12
+
+    target = 1e-2
+    est = est * math.sqrt(target / active_power(est))
+    ref = ref * math.sqrt(target / active_power(ref))
+
+    n_fft = int(0.032 * fs)
+    hop = n_fft // 2
+    win = np.hanning(n_fft)
+    if len(ref) < n_fft:
+        return 4.5
+    pe = np.abs(_stft(est, n_fft, hop, win)) ** 2  # (T, F)
+    pr = np.abs(_stft(ref, n_fft, hop, win)) ** 2
+
+    num_bands = 49
+    bank, widths, centers = _bark_filterbank(fs, n_fft, num_bands)
+    be = pe @ bank.T  # (T, B) Bark-band powers
+    br = pr @ bank.T
+
+    # normalize to a pseudo-SPL scale where the hearing threshold applies
+    thr = _bark_hearing_threshold(centers)
+    scale = 1e8  # target=1e-2 power ~ 78 dB pseudo-SPL
+    be = be * scale
+    br = br * scale
+
+    # speech-active frames of the reference drive the compensations
+    frame_pow = br.sum(-1)
+    active = frame_pow > frame_pow.max() * 1e-3
+
+    # partial frequency compensation: per-band ratio (bounded), applied to ref
+    mean_e = be[active].mean(0) + 1e3
+    mean_r = br[active].mean(0) + 1e3
+    band_ratio = np.clip(mean_e / mean_r, 0.01, 100.0)
+    br_eq = br * band_ratio[None]
+
+    # short-term gain compensation (bounded), applied to degraded
+    g = (br_eq.sum(-1) + 5e3) / (be.sum(-1) + 5e3)
+    g = np.clip(g, 3e-4, 5.0)
+    # first-order smoothing along time (the standard's gain tracker)
+    for i in range(1, len(g)):
+        g[i] = 0.8 * g[i - 1] + 0.2 * g[i]
+    be_eq = be * g[:, None]
+
+    # Zwicker loudness
+    def loudness(b):
+        p0 = thr[None]
+        sl = ((p0 / 0.5) ** 0.23) * (
+            np.maximum(0.5 + 0.5 * b / p0, 0.5) ** 0.23 - 1.0
+        )
+        return np.maximum(sl, 0.0) * 32.0
+
+    le = loudness(be_eq)
+    lr = loudness(br_eq)
+
+    # center-clipped disturbance
+    deadzone = 0.25 * np.minimum(le, lr)
+    d = np.maximum(np.abs(le - lr) - deadzone, 0.0)
+
+    # asymmetry factor: added distortion hurts more than attenuation
+    asym = ((be_eq + 50.0) / (br_eq + 50.0)) ** 1.2
+    asym = np.where(asym < 3.0, 0.0, np.minimum(asym, 12.0))
+    da = d * asym
+
+    # frame disturbances: width-weighted norms over bands
+    w = widths[None]
+    d_frame = np.sqrt(((d * w) ** 2).sum(-1)) / w.sum()
+    da_frame = (da * w).sum(-1) / w.sum()
+    # emphasize audible frames, de-emphasize silence
+    weight = ((frame_pow + 1e5) / 1e7) ** 0.04
+    d_frame = np.minimum(d_frame / weight, 45.0)
+    da_frame = np.minimum(da_frame / weight, 45.0)
+
+    def two_stage(x, p1, p2, chunk=20):  # L_p1 within 320 ms, L_p2 across
+        n = max(len(x) // chunk, 1)
+        pads = n * chunk - len(x)
+        xx = np.pad(x, (0, max(pads, 0)))[: n * chunk].reshape(n, chunk)
+        per = (np.mean(xx ** p1, -1)) ** (1.0 / p1)
+        return float((np.mean(per ** p2)) ** (1.0 / p2))
+
+    d_total = two_stage(d_frame, 6.0, 2.0)
+    da_total = two_stage(da_frame, 1.0, 2.0)
+
+    raw = 4.5 - 0.1 * d_total - 0.0309 * da_total
+    return float(np.clip(raw, -0.5, 4.5))
+
+
+def pesq_mos_lqo(raw_pesq: float) -> float:
+    """ITU-T P.862.1 mapping from raw PESQ to MOS-LQO."""
+    return 0.999 + (4.999 - 0.999) / (
+        1.0 + math.exp(-1.4945 * raw_pesq + 4.6607)
+    )
+
+
+def utmos_proxy(x: np.ndarray, fs: int = 16000) -> float:
+    """Reference-free MOS proxy in the role UTMOS plays in BASELINE.md.
+
+    UTMOS is a learned SSL-based MOS predictor whose weights are not
+    available in this image, so this is a DOCUMENTED heuristic stand-in
+    built from interpretable signal features: (a) estimated SNR from
+    noise-floor tracking (10th-percentile band energy), (b) spectral
+    flatness of the noise floor, (c) clipping fraction. Calibrated so clean
+    wide-band speech scores ~4.2-4.5 and heavily degraded speech scores
+    <2.5. Use ONLY for relative regression tracking — values are not
+    comparable to published UTMOS numbers.
+    """
+    x = np.asarray(x, np.float64)
+    x = x / (np.abs(x).max() + 1e-9)
+    n_fft, hop = 512, 256
+    if len(x) < n_fft:
+        return 1.0
+    win = np.hanning(n_fft)
+    spec = np.abs(_stft(x, n_fft, hop, win)) ** 2  # (T, F)
+    band = spec[:, 2:].mean(-1) + 1e-12
+
+    floor = np.quantile(band, 0.10)
+    speech = np.quantile(band, 0.90)
+    snr_db = 10 * np.log10(speech / floor)
+
+    # spectral flatness of the quietest decile frames (hiss/music noise)
+    quiet = spec[band <= np.quantile(band, 0.10) * 1.01][:, 2:] + 1e-12
+    flat = float(np.exp(np.mean(np.log(quiet))) / np.mean(quiet)) \
+        if len(quiet) else 0.0
+
+    clip_frac = float(np.mean(np.abs(x) > 0.985))
+
+    score = 1.0 + 3.5 / (1.0 + math.exp(-(snr_db - 18.0) / 6.0))
+    score -= 1.5 * flat          # flat (white) noise floor -> noisy signal
+    score -= 20.0 * clip_frac    # clipping artifacts
+    return float(np.clip(score, 1.0, 5.0))
+
+
 def mcd(est: np.ndarray, ref: np.ndarray, fs: int = 16000, n_mfcc: int = 13,
         n_fft: int = 1024, hop: int = 256, n_mels: int = 40) -> float:
     """Mel-cepstral distance (dB) over aligned frames."""
