@@ -25,6 +25,15 @@ def main():
     except Exception:
         pass
 
+    # fail LOUDLY on CPU fallback: a silently-CPU bench records a number
+    # that proves nothing about the chip
+    platform = jax.devices()[0].platform
+    if platform == "cpu":
+        raise SystemExit(
+            "bench.py requires the TPU device; jax.devices() gave CPU "
+            f"({jax.devices()}) — refusing to record a host-CPU number"
+        )
+
     import jax.numpy as jnp
 
     from unified_audio_tpu.models.hcodec.codec import hcodec10_config
@@ -75,11 +84,50 @@ def main():
     dt = sorted(times)[len(times) // 2]
 
     rtfx = seconds / dt
+
+    # secondary headline: UniSE AR generation tokens/sec (bf16, batch 16) —
+    # the BASELINE north star's second number (>=5x reference tokens/s)
+    from unified_audio_tpu.models.lm.llama import LlamaConfig
+    from unified_audio_tpu.models.lm.sft import LLMSFT
+    from unified_audio_tpu.utils.initialization import init_on_cpu
+    from unified_audio_tpu.utils.precision import bf16_params
+
+    lm_cfg = LlamaConfig()
+    sft = LLMSFT(lm_cfg, num_tasks=3, feats_dim=768)
+    sft_params = bf16_params(init_on_cpu(lambda: sft.init(
+        jax.random.PRNGKey(0), 0, None,
+        np.zeros((1, 250, 768), np.float32),
+        np.zeros((1, 32), np.int32), np.zeros((1, 250), np.int32),
+    )))
+
+    @jax.jit
+    def generate(params, mix_feats, rng):
+        return sft.apply(params, 0, None, mix_feats, rng, method="generate",
+                         semantic_length=250)
+
+    b = 16
+    feats = jnp.asarray(
+        np.random.default_rng(0).standard_normal((b, 250, 768)),
+        dtype=jnp.bfloat16,
+    )
+    _ = np.asarray(generate(sft_params, feats, jax.random.PRNGKey(0))[1])
+    lm_times = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        _ = np.asarray(generate(sft_params, feats, jax.random.PRNGKey(i))[1])
+        lm_times.append(time.perf_counter() - t0)
+    lm_dt = sorted(lm_times)[len(lm_times) // 2]
+    unise_tok_s = b * (33 + 250) / lm_dt
+
     print(json.dumps({
         "metric": "hcodec10_encode_decode_rtfx",
         "value": round(rtfx, 2),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(rtfx / 50.0, 3),
+        "platform": platform,
+        "extra": {
+            "unise_ar_tokens_per_sec_b16_bf16": round(unise_tok_s, 1),
+        },
     }))
 
 

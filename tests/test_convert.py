@@ -252,3 +252,72 @@ class TestHCodecConverter:
         rec2 = m.apply(back, ac1, sem1, method="decode")
         np.testing.assert_allclose(np.asarray(rec1), np.asarray(rec2),
                                    atol=1e-5)
+
+
+class TestCustomLlamaConverter:
+    """convert_custom_llama <-> export round trip + the CLI checkpoint loader
+    (reference test.py:11-30 loads an LM-only ckpt; model.py:82-91 excludes
+    the frozen submodules)."""
+
+    def _tiny(self):
+        from unified_audio_tpu.models.lm.llama import LlamaConfig
+        from unified_audio_tpu.models.lm.sft import LLMSFT
+
+        cfg = LlamaConfig(global_size=16, semantic_size=32, hidden_size=32,
+                          num_layers=2, num_heads=4)
+        sft = LLMSFT(cfg, num_tasks=3, feats_dim=12)
+        params = sft.init(
+            jax.random.PRNGKey(0), 0, None,
+            jnp.zeros((1, 6, 12)), jnp.zeros((1, 4), jnp.int32),
+            jnp.zeros((1, 6), jnp.int32),
+        )
+        return cfg, sft, params
+
+    def test_export_convert_roundtrip(self):
+        from unified_audio_tpu.utils.convert import (
+            convert_custom_llama, export_custom_llama_state_dict,
+        )
+
+        cfg, sft, params = self._tiny()
+        sd = export_custom_llama_state_dict(params, cfg)
+        back = convert_custom_llama(sd, cfg)
+        flat_a = jax.tree_util.tree_leaves_with_path(params["params"])
+        flat_b = jax.tree_util.tree_leaves_with_path(back["params"])
+        assert len(flat_a) == len(flat_b)
+        for (pa, a), (pb, b) in zip(flat_a, flat_b):
+            assert pa == pb
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6, err_msg=str(pa))
+
+    def test_cli_checkpoint_loader_orbax_and_torch(self, tmp_path):
+        import torch
+
+        from unified_audio_tpu.cli import _load_sft_checkpoint
+        from unified_audio_tpu.train.checkpoint import CheckpointManager
+        from unified_audio_tpu.utils.convert import (
+            export_custom_llama_state_dict,
+        )
+
+        cfg, sft, params = self._tiny()
+
+        # orbax directory
+        mgr = CheckpointManager(tmp_path / "orbax")
+        mgr.save(7, params)
+        loaded = _load_sft_checkpoint(str(tmp_path / "orbax"), cfg)
+        np.testing.assert_allclose(
+            np.asarray(loaded["params"]["lm"]["codec_embedding"]["embedding"]),
+            np.asarray(params["params"]["lm"]["codec_embedding"]["embedding"]),
+            atol=1e-6,
+        )
+
+        # torch .ckpt with Lightning-style nesting + dnn. prefix
+        sd = export_custom_llama_state_dict(params, cfg)
+        blob = {"state_dict": {f"dnn.{k}": torch.from_numpy(np.array(v))
+                               for k, v in sd.items()}}
+        pt = tmp_path / "model.ckpt"
+        torch.save(blob, pt)
+        loaded = _load_sft_checkpoint(str(pt), cfg)
+        np.testing.assert_allclose(
+            np.asarray(loaded["params"]["adapter"]["kernel"]),
+            np.asarray(params["params"]["adapter"]["kernel"]), atol=1e-6,
+        )

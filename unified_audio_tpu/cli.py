@@ -2,7 +2,9 @@
 
     python -m unified_audio_tpu.cli train-unise --config configs/unise.yaml
     python -m unified_audio_tpu.cli train-codec --config configs/hcodec10.yaml
-    python -m unified_audio_tpu.cli enhance --mode se --input noisy.wav --output out.wav
+    python -m unified_audio_tpu.cli enhance --mode se --ckpt CKPT \
+        --input noisy.wav --output out.wav
+    python -m unified_audio_tpu.cli eval --test-dir DIR --ckpt CKPT
 """
 from __future__ import annotations
 
@@ -13,16 +15,61 @@ from pathlib import Path
 
 import numpy as np
 
+TARGET_SR = 16000  # UniSE operates on 16 kHz mono (model/model.py:175-181)
 
-def _build_unise(seed: int = 3407):
-    """Randomly initialized full-size UniSE stack (checkpoint loading plugs in
-    via utils/convert.py when weights are available)."""
+
+def _load_sft_checkpoint(ckpt: str, llm_cfg):
+    """Load LM (LLM_SFT) params from either an orbax checkpoint directory
+    (this framework's native format) or a torch .ckpt/.pt file routed through
+    utils/convert.convert_custom_llama (reference: test.py:11-30 loads the
+    Lightning ckpt; UniSE ckpts contain ONLY the LM weights, model.py:82-91).
+    """
+    path = Path(ckpt)
+    if not path.exists():
+        sys.exit(f"error: checkpoint not found: {ckpt}")
+    if path.is_dir():
+        from .train.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(path)
+        step = mgr.latest_step()
+        if step is None:
+            sys.exit(f"error: no checkpoint steps inside {ckpt}")
+        restored = mgr.restore(step)
+        params = restored["params"] if "params" in restored else restored
+        print(f"loaded orbax checkpoint step {step} from {ckpt}",
+              file=sys.stderr)
+        return params
+    # torch checkpoint (Lightning .ckpt or raw state dict .pt)
+    import torch
+
+    from .utils.convert import convert_custom_llama
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    sd = blob.get("state_dict", blob) if isinstance(blob, dict) else blob
+    params = convert_custom_llama(sd, llm_cfg)
+    print(f"converted torch checkpoint {ckpt}", file=sys.stderr)
+    return params
+
+
+def _build_unise(seed: int = 3407, ckpt: str | None = None):
+    """Full-size UniSE stack. With ``ckpt``, the LM weights are restored
+    (orbax dir or converted torch file); without, the stack is RANDOMLY
+    initialized and a loud warning is emitted — outputs are meaningless."""
     import jax
 
     from .models.bicodec.tokenizer import BiCodecTokenizer
     from .models.ssl import wav2vec2 as ssl_mod
     from .models.unise.model import UniSE, UniSEConfig
     from .utils.initialization import init_on_cpu
+
+    cfg = UniSEConfig()
+    sft_params = _load_sft_checkpoint(ckpt, cfg.llm) if ckpt else None
+    if sft_params is None:
+        print(
+            "WARNING: no --ckpt given — UniSE is RANDOMLY initialized and "
+            "the output is not meaningful (smoke/benchmark use only)",
+            file=sys.stderr,
+        )
 
     key = jax.random.PRNGKey(seed)
     k1, k2, k3 = jax.random.split(key, 3)
@@ -32,8 +79,25 @@ def _build_unise(seed: int = 3407):
     wavlm_vars = init_on_cpu(
         lambda: wavlm.init(k2, np.zeros((1, 16320), np.float32))
     )
-    cfg = UniSEConfig()
-    return UniSE(cfg, tok, wavlm_cfg, wavlm_vars, rng={"params": k3})
+    return UniSE(cfg, tok, wavlm_cfg, wavlm_vars, rng={"params": k3},
+                 sft_params=sft_params)
+
+
+def _prepare_wav(wav: np.ndarray, fs: int) -> np.ndarray:
+    """(channels, T) native-rate -> (1, T) mono 16 kHz. UniSE assumes 16 kHz
+    mono; stereo channels must not be flattened into separate segments."""
+    if wav.ndim == 1:
+        wav = wav[None]
+    if wav.shape[0] > 1:
+        wav = wav.mean(axis=0, keepdims=True)
+    if fs != TARGET_SR:
+        import jax.numpy as jnp
+
+        from .ops.dsp import resample
+
+        wav = np.asarray(resample(jnp.asarray(wav), fs, TARGET_SR))
+        print(f"resampled {fs} Hz -> {TARGET_SR} Hz", file=sys.stderr)
+    return wav.astype(np.float32)
 
 
 def cmd_train_unise(args):
@@ -43,11 +107,11 @@ def cmd_train_unise(args):
     from .parallel import mesh as mesh_lib
     from .train.checkpoint import CheckpointManager
     from .train.optim import make_optimizer
-    from .train.sft_trainer import SFTTrainer
+    from .train.sft_trainer import SFTTrainer, Validator
     from .utils.config import load_yaml
 
     cfg = load_yaml(args.config) if args.config else {}
-    unise = _build_unise(cfg.get("seed", 3407))
+    unise = _build_unise(cfg.get("seed", 3407), ckpt=args.ckpt)
     mesh = mesh_lib.make_mesh(tp=cfg.get("tp", 1)) if jax.device_count() > 1 else None
     trainer = SFTTrainer(unise, mesh=mesh, optimizer=make_optimizer(
         **cfg.get("opt", {})
@@ -65,6 +129,14 @@ def cmd_train_unise(args):
         print(f"resumed from step {last}", file=sys.stderr)
 
     data = TrainDataIterator(**cfg["dataset"])
+    # validation cadence (reference validates every 0.5 epoch and saves a
+    # manual ckpt at each val-epoch end, model.py:160-168; here the cadence
+    # is step-based: val_every steps -> run Validator + save checkpoint)
+    val_iter = (TrainDataIterator(**cfg["val_dataset"])
+                if "val_dataset" in cfg else None)
+    validator = Validator(unise) if val_iter is not None else None
+    val_every = cfg.get("val_every", 1000)
+    val_batches = cfg.get("val_batches", 16)
     log_every = cfg.get("log_every", 10)
     save_every = cfg.get("save_every", 1000)
     for epoch in range(cfg.get("max_epochs", 100)):
@@ -75,7 +147,16 @@ def cmd_train_unise(args):
             if trainer.step % log_every == 0:
                 print(json.dumps({"step": trainer.step, "epoch": epoch,
                                   "task": mode, "loss": loss, "acc": acc}))
-            if trainer.step % save_every == 0:
+            if validator is not None and trainer.step % val_every == 0:
+                import itertools
+
+                stats = validator.run(
+                    trainer.params,
+                    itertools.islice(iter(val_iter), val_batches),
+                )
+                print(json.dumps({"step": trainer.step, **stats}))
+                ckpt.save(trainer.step, trainer.params)
+            elif trainer.step % save_every == 0:
                 ckpt.save(trainer.step, trainer.params)
 
 
@@ -110,23 +191,49 @@ def cmd_enhance(args):
         sys.exit(f"error: input file not found: {args.input}")
     if args.mode == "tse" and not args.enroll:
         sys.exit("error: --mode tse requires --enroll <wav>")
+    if args.ckpt and not Path(args.ckpt).exists():
+        sys.exit(f"error: checkpoint not found: {args.ckpt}")
     wav, fs = read_wav(args.input)
-    enroll_wav = read_wav(args.enroll)[0] if args.enroll else None
+    wav = _prepare_wav(wav, fs)
+    enroll_wav = None
+    if args.enroll:
+        e, efs = read_wav(args.enroll)
+        enroll_wav = _prepare_wav(e, efs)
 
-    unise = _build_unise()
+    unise = _build_unise(ckpt=args.ckpt)
     rng = jax.random.PRNGKey(args.seed)
     if args.mode == "se":
         est = unise.enhance_se(wav, rng, do_sample=args.sample)
-        write_wav(args.output, est, fs)
+        write_wav(args.output, est, TARGET_SR)
     elif args.mode == "tse":
         est = unise.enhance_tse(wav, enroll_wav, rng, do_sample=args.sample)
-        write_wav(args.output, est, fs)
+        write_wav(args.output, est, TARGET_SR)
     else:  # ss
         s1, s2 = unise.separate_ss(wav, rng, do_sample=args.sample)
         out = Path(args.output)
-        write_wav(out.with_name(out.stem + "_s1.wav"), s1, fs)
-        write_wav(out.with_name(out.stem + "_s2.wav"), s2, fs)
-    print("done")
+        write_wav(out.with_name(out.stem + "_s1.wav"), s1, TARGET_SR)
+        write_wav(out.with_name(out.stem + "_s2.wav"), s2, TARGET_SR)
+    print("done" + ("" if args.ckpt else " (random weights)"))
+
+
+def cmd_eval(args):
+    """Directory evaluation harness (reference: test.py + trainer.test over
+    benchmark dirs, conf/config.yaml:62-105)."""
+    import jax
+
+    from .eval.runner import EvalConfig, evaluate
+
+    if not Path(args.test_dir).exists():
+        sys.exit(f"error: test dir not found: {args.test_dir}")
+    if args.ckpt and not Path(args.ckpt).exists():
+        sys.exit(f"error: checkpoint not found: {args.ckpt}")
+
+    unise = _build_unise(ckpt=args.ckpt)
+    cfg = EvalConfig(mode=args.mode, data_src_dir=args.test_dir,
+                     data_tgt_dir=args.tgt_dir, data_enroll_dir=args.enroll_dir,
+                     save_enhanced=args.save_enhanced, limit=args.max_items)
+    stats = evaluate(unise, cfg, rng=jax.random.PRNGKey(args.seed))
+    print(json.dumps(stats))
 
 
 def main(argv=None):
@@ -135,6 +242,8 @@ def main(argv=None):
 
     t1 = sub.add_parser("train-unise")
     t1.add_argument("--config", default=None)
+    t1.add_argument("--ckpt", default=None,
+                    help="initial LM weights (orbax dir or torch ckpt)")
     t1.set_defaults(fn=cmd_train_unise)
 
     t2 = sub.add_parser("train-codec")
@@ -146,9 +255,24 @@ def main(argv=None):
     t3.add_argument("--input", required=True)
     t3.add_argument("--output", required=True)
     t3.add_argument("--enroll", default=None)
+    t3.add_argument("--ckpt", default=None,
+                    help="LM weights (orbax dir or torch ckpt); omitting "
+                         "runs RANDOM weights with a loud warning")
     t3.add_argument("--sample", action="store_true")
     t3.add_argument("--seed", type=int, default=0)
     t3.set_defaults(fn=cmd_enhance)
+
+    t4 = sub.add_parser("eval")
+    t4.add_argument("--test-dir", required=True)
+    t4.add_argument("--tgt-dir", default=None,
+                    help="clean references (enables STOI/PESQ/SI-SNR)")
+    t4.add_argument("--enroll-dir", default=None)
+    t4.add_argument("--mode", choices=["se", "tse", "ss"], default="se")
+    t4.add_argument("--ckpt", default=None)
+    t4.add_argument("--save-enhanced", default=None)
+    t4.add_argument("--max-items", type=int, default=None)
+    t4.add_argument("--seed", type=int, default=0)
+    t4.set_defaults(fn=cmd_eval)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -82,8 +82,12 @@ def evaluate(unise, cfg: EvalConfig, rng=None) -> Dict[str, float]:
                 write_wav(save_dir / f"{key}.wav", est, fs)
         if tgt is not None and cfg.mode in ("se", "tse"):
             ref = tgt[0][: len(est)]
+            raw_pesq = M.pesq(est[: len(ref)], ref, fs)
             per_utt.append({
                 "stoi": M.stoi(est[: len(ref)], ref, fs),
+                "pesq": raw_pesq,
+                "pesq_mos_lqo": M.pesq_mos_lqo(raw_pesq),
+                "utmos_proxy": M.utmos_proxy(est, fs),
                 "si_snr": M.si_snr(est[: len(ref)], ref),
                 "lsd": M.lsd(est[: len(ref)], ref),
             })
@@ -108,8 +112,12 @@ def roundtrip_codec_eval(tokenizer, wav_paths, sample_rate=16000,
         g, s = tokenizer.tokenize(x)
         rec = np.asarray(tokenizer.detokenize(g, s))[0]
         ref = wav[0][: len(rec)]
+        raw_pesq = M.pesq(rec[: len(ref)], ref, fs)
         stats.append({
             "stoi": M.stoi(rec[: len(ref)], ref, fs),
+            "pesq": raw_pesq,
+            "pesq_mos_lqo": M.pesq_mos_lqo(raw_pesq),
+            "utmos_proxy": M.utmos_proxy(rec, fs),
             "si_snr": M.si_snr(rec[: len(ref)], ref),
             "mcd": M.mcd(rec[: len(ref)], ref, fs),
         })

@@ -194,3 +194,49 @@ def convert_custom_llama(state_dict: Dict, cfg) -> Dict:
         return {"params": p}
     p["mix_sos_embedding"] = _t(sd["mix_sos_embedding.weight"])
     return {"params": p}
+
+
+def export_custom_llama_state_dict(variables, cfg) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`convert_custom_llama`: LLMSFT/CodecLM flax params ->
+    a torch-layout state dict (Linear (out, in); per-layer keys with split
+    q/k/v and gate/up), matching the reference checkpoint format
+    (UniSE model.py:82-91 saves exactly these LM-only keys)."""
+    p = variables["params"]
+    lm = p["lm"]
+    d = cfg.hidden_size
+    sd: Dict[str, np.ndarray] = {
+        "codec_embedding.weight": np.asarray(lm["codec_embedding"]["embedding"]),
+        "output_head.weight": np.asarray(lm["output_head"]["kernel"]).T,
+        "norm.weight": np.asarray(lm["backbone"]["norm"]["weight"]),
+    }
+    layers = lm["backbone"]["layers"]
+    for i in range(cfg.num_layers):
+        pre = f"layers.{i}"
+        qkv = np.asarray(layers["self_attn"]["qkv_proj"]["kernel"][i])
+        q, k, v = qkv[:, :d], qkv[:, d:2*d], qkv[:, 2*d:]
+        sd[f"{pre}.self_attn.q_proj.weight"] = q.T
+        sd[f"{pre}.self_attn.k_proj.weight"] = k.T
+        sd[f"{pre}.self_attn.v_proj.weight"] = v.T
+        sd[f"{pre}.self_attn.o_proj.weight"] = np.asarray(
+            layers["self_attn"]["o_proj"]["kernel"][i]).T
+        gate_up = np.asarray(layers["mlp"]["gate_up_proj"]["kernel"][i])
+        inter = gate_up.shape[1] // 2
+        sd[f"{pre}.mlp.gate_proj.weight"] = gate_up[:, :inter].T
+        sd[f"{pre}.mlp.up_proj.weight"] = gate_up[:, inter:].T
+        sd[f"{pre}.mlp.down_proj.weight"] = np.asarray(
+            layers["mlp"]["down_proj"]["kernel"][i]).T
+        sd[f"{pre}.input_layernorm.weight"] = np.asarray(
+            layers["input_layernorm"]["weight"][i])
+        sd[f"{pre}.post_attention_layernorm.weight"] = np.asarray(
+            layers["post_attention_layernorm"]["weight"][i])
+    if "task_embedding" in p:
+        sd["task_embedding.weight"] = np.asarray(
+            p["task_embedding"]["embedding"])
+        sd["enroll_sos_embedding.weight"] = np.asarray(
+            p["enroll_sos_embedding"])
+        sd["mix_sos_embedding.weight"] = np.asarray(p["mix_sos_embedding"])
+        sd["adapter.weight"] = np.asarray(p["adapter"]["kernel"]).T
+        sd["adapter.bias"] = np.asarray(p["adapter"]["bias"])
+    elif "mix_sos_embedding" in p:
+        sd["mix_sos_embedding.weight"] = np.asarray(p["mix_sos_embedding"])
+    return sd
