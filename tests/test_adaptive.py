@@ -109,3 +109,58 @@ class TestAdaptiveHCodec:
                                    method="token_rate")[0])
         # steady content -> fewer groups than noisy content
         assert rate_const <= rate_noise
+
+
+class TestThresholdModes:
+    """fixed / dynamic / manual threshold selection
+    (modeling_flexicodec_new.py:351-367, 828-925)."""
+
+    def _model(self, rng, mode="fixed", **kw):
+        cfg = AdaptiveConfig(base=small10(), similarity_threshold=0.5,
+                             max_group_len=8, bottleneck_layers=1,
+                             threshold_mode=mode, **kw)
+        m = AdaptiveHCodec(cfg)
+        L = 640 * 8
+        wav = jnp.asarray(rng.standard_normal((1, L, 1)).astype(np.float32))
+        feat = jnp.asarray(
+            rng.standard_normal((1, L // 320, cfg.base.feat_dim)).astype(np.float32)
+        )
+        rngs = {"params": jax.random.PRNGKey(0), "quant": jax.random.PRNGKey(1)}
+        if mode == "dynamic":
+            rngs["threshold"] = jax.random.PRNGKey(2)
+        variables = m.init(rngs, wav, feat, train=False)
+        return m, variables, wav, feat
+
+    def test_manual_override_changes_rate(self, rng):
+        m, variables, wav, feat = self._model(rng)
+        r_low = float(m.apply(variables, wav, feat, method="token_rate",
+                              threshold=-1.0)[0])  # nothing splits
+        r_high = float(m.apply(variables, wav, feat, method="token_rate",
+                               threshold=1.0)[0])  # everything splits
+        assert r_low < r_high
+
+    def test_manual_threshold_traced(self, rng):
+        """threshold can be a traced scalar (jit without recompiles)."""
+        m, variables, wav, feat = self._model(rng)
+        f = jax.jit(lambda th: m.apply(variables, wav, feat,
+                                       method="token_rate", threshold=th))
+        r1 = float(f(jnp.float32(-1.0))[0])
+        r2 = float(f(jnp.float32(1.0))[0])
+        assert r1 < r2
+
+    def test_dynamic_mode_samples_threshold(self, rng):
+        m, variables, wav, feat = self._model(
+            rng, mode="dynamic", threshold_lower=-1.5, threshold_upper=1.0)
+        rates = {
+            float(m.apply(variables, wav, feat, method="token_rate",
+                          rngs={"threshold": jax.random.PRNGKey(s)})[0])
+            for s in range(6)
+        }
+        assert len(rates) > 1  # different draws -> different rates
+
+    def test_projected_bottleneck_used(self, rng):
+        m, variables, wav, feat = self._model(rng)
+        flat = jax.tree_util.tree_leaves_with_path(variables["params"])
+        names = {"/".join(str(k.key) for k in p) for p, _ in flat}
+        assert any("bottleneck/core/layers" in n for n in names)
+        assert any("bottleneck/proj_in" in n for n in names)

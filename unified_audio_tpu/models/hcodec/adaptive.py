@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ...nn.blocks import SEANetEncoder
+from ...nn.streaming import ProjectedStreamingTransformer
 from ...nn.transformer import NEG_INF, RMSNorm, Transformer
 from ...ops.quant import ResidualVQ
 from .codec import CodecDecoder10, HCodecConfig, hcodec10_config
@@ -41,7 +42,10 @@ def similarity_group_ids(
     starting at 0 (modeling_flexicodec_new.py:828-925 semantics)."""
     norm = emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-8)
     sim = jnp.sum(norm[:, 1:] * norm[:, :-1], axis=-1)  # (B, T-1)
-    new_by_sim = sim < threshold
+    # boundary rule matches the reference exactly: sim <= threshold starts a
+    # new group (modeling_flexicodec_new.py:880). threshold may be a traced
+    # scalar (dynamic / manual modes).
+    new_by_sim = sim <= threshold
     # scan to enforce the max group length
     def step(carry, new_flag):
         run_len = carry
@@ -150,9 +154,25 @@ class QueryTokenAggregator(nn.Module):
 @dataclass(frozen=True)
 class AdaptiveConfig:
     base: HCodecConfig = hcodec10_config()
+    # threshold modes (modeling_flexicodec_new.py:351-367):
+    #   fixed   -> similarity_threshold
+    #   dynamic -> uniform(threshold_lower, threshold_upper) per call, drawn
+    #              from the "threshold" rng stream
+    # a manual per-call override is the ``threshold=`` argument on
+    # __call__/encode/token_rate (reference: manual_threshold)
+    threshold_mode: str = "fixed"
     similarity_threshold: float = 0.9
+    threshold_lower: float = 0.8
+    threshold_upper: float = 1.0
     max_group_len: int = 8
-    bottleneck_layers: int = 2  # reference uses a 32-layer ProjectedTransformer
+    # decode bottleneck: reference wires a 32-layer ProjectedTransformer
+    # (d_model 1024, ff 2048, heads 8, context 16 frames,
+    # config_adaptive_v3.yaml:96-111 + mimi/transformer.py:828) between the
+    # de-aggregated streams and the decoder
+    bottleneck_layers: int = 32
+    bottleneck_dim: int = 0  # 0 -> latent_dim * 2 (the reference's d_model)
+    bottleneck_heads: int = 8
+    bottleneck_context: int = 16
 
 
 class AdaptiveHCodec(nn.Module):
@@ -201,12 +221,13 @@ class AdaptiveHCodec(nn.Module):
         )
         self.quantizer = ResidualVQ(**vq_kwargs, name="quantizer")
         self.semantic_quantizer = ResidualVQ(**vq_kwargs, name="semantic_quantizer")
-        self.bottleneck = Transformer(
-            hidden_size=cfg.latent_dim * 2,
-            intermediate_size=cfg.latent_dim * 4,
-            num_heads=8,
+        self.bottleneck = ProjectedStreamingTransformer(
+            dim=self.config.bottleneck_dim or cfg.latent_dim * 2,
+            input_dim=cfg.latent_dim * 2,
+            output_dim=cfg.latent_dim * 2,
             num_layers=self.config.bottleneck_layers,
-            causal=cfg.causal,
+            num_heads=self.config.bottleneck_heads,
+            context=self.config.bottleneck_context,
             name="bottleneck",
         )
         self.decoder = CodecDecoder10(
@@ -217,19 +238,30 @@ class AdaptiveHCodec(nn.Module):
             name="decoder",
         )
 
-    def _align(self, wav, feat):
+    def _threshold(self, threshold=None):
+        """Resolve the similarity threshold (flexicodec_new.py:351-367):
+        manual per-call override > dynamic uniform sample > fixed config."""
+        if threshold is not None:
+            return threshold
+        c = self.config
+        if c.threshold_mode == "dynamic":
+            u = jax.random.uniform(self.make_rng("threshold"))
+            return c.threshold_lower + u * (c.threshold_upper - c.threshold_lower)
+        return c.similarity_threshold
+
+    def _align(self, wav, feat, threshold=None):
         emb = self.encoder(wav)  # (B, T, D)
         sem = self.semantic_encoder(feat)  # (B, T, D)
         gid = similarity_group_ids(
-            sem, self.config.similarity_threshold, self.config.max_group_len
+            sem, self._threshold(threshold), self.config.max_group_len
         )
         a_groups, counts = self.acoustic_aggregator(emb, gid)
         s_groups, _ = self.semantic_aggregator(sem, gid)
         return a_groups, s_groups, gid, counts
 
-    def __call__(self, wav, feat, train: bool = False):
+    def __call__(self, wav, feat, train: bool = False, threshold=None):
         cfg = self.config.base
-        a_groups, s_groups, gid, counts = self._align(wav, feat)
+        a_groups, s_groups, gid, counts = self._align(wav, feat, threshold)
         qa, _, ca = self.quantizer(a_groups, train=train)
         qs, _, cs = self.semantic_quantizer(s_groups, train=train)
         frames = jnp.concatenate(
@@ -240,9 +272,9 @@ class AdaptiveHCodec(nn.Module):
         pred_feat = self.semantic_decoder(degroup(qs, gid))
         return recon, pred_feat, jnp.mean(ca) + jnp.mean(cs)
 
-    def encode(self, wav, feat):
+    def encode(self, wav, feat, threshold=None):
         cfg = self.config.base
-        a_groups, s_groups, gid, counts = self._align(wav, feat)
+        a_groups, s_groups, gid, counts = self._align(wav, feat, threshold)
         a_codes = self.quantizer.encode(a_groups)  # (B, G, nq)
         s_codes = self.semantic_quantizer.encode(s_groups)
         a_codes = inject_length(a_codes, counts, cfg.codebook_size)
@@ -261,10 +293,10 @@ class AdaptiveHCodec(nn.Module):
         frames = self.bottleneck(frames)
         return self.decoder(frames)
 
-    def token_rate(self, wav, feat):
+    def token_rate(self, wav, feat, threshold=None):
         """Mean groups per second — the adaptive-rate diagnostic."""
         cfg = self.config.base
-        *_, counts = self._align(wav, feat)
+        *_, counts = self._align(wav, feat, threshold)
         groups = jnp.sum(counts > 0, axis=-1)
         seconds = wav.shape[1] / cfg.sample_rate
         return groups / seconds

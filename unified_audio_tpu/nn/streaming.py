@@ -128,16 +128,23 @@ class StreamingTransformer(nn.Module):
         return self.dim // self.num_heads
 
     def setup(self):
-        self.layers = [
-            StreamingTransformerLayer(
-                self.num_heads, self.head_dim, self.context, name=f"layers_{i}"
-            )
-            for i in range(self.num_layers)
-        ]
+        # nn.scan over the layer stack: ONE layer body in the HLO instead of
+        # num_layers copies — required for the 32-layer bottleneck config
+        # (config_adaptive_v3.yaml:99) on remote-compiled backends
+        # (CLAUDE.md #3), same pattern as models/lm LlamaBackbone.
+        scan = nn.scan(
+            StreamingTransformerLayer,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=(0, nn.broadcast),
+            out_axes=0,
+            length=self.num_layers,
+        )
+        self.layers = scan(self.num_heads, self.head_dim, self.context,
+                           name="layers")
 
     def __call__(self, x):
-        for layer in self.layers:
-            x, _ = layer(x)
+        x, _ = self.layers(x, None, None)
         return x
 
     def init_state(self, batch: int, capacity: Optional[int] = None,
@@ -149,20 +156,10 @@ class StreamingTransformer(nn.Module):
     def step(self, x, state):
         """Streaming chunk (B, S, D) -> (out, new_state)."""
         end = state["end"]
-        new_k, new_v, new_pos = [], [], []
-        for i, layer in enumerate(self.layers):
-            x, (kb, vb, pb) = layer(
-                x, (state["k"][i], state["v"][i], state["pos"][i]), end
-            )
-            new_k.append(kb)
-            new_v.append(vb)
-            new_pos.append(pb)
-        new_state = {
-            "k": jnp.stack(new_k),
-            "v": jnp.stack(new_v),
-            "pos": jnp.stack(new_pos),
-            "end": end + x.shape[1],
-        }
+        x, (kb, vb, pb) = self.layers(
+            x, (state["k"], state["v"], state["pos"]), end
+        )
+        new_state = {"k": kb, "v": vb, "pos": pb, "end": end + x.shape[1]}
         return x, new_state
 
 
