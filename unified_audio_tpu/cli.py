@@ -216,6 +216,73 @@ def cmd_enhance(args):
     print("done" + ("" if args.ckpt else " (random weights)"))
 
 
+def cmd_codec(args):
+    """Codec round-trip inference driver (the adaptive/infer.py:10-212
+    equivalent): load weights -> tokenize -> detokenize -> wav."""
+    import jax
+    import jax.numpy as jnp
+
+    from .data.audio_io import read_wav, write_wav
+
+    if not Path(args.input).exists():
+        sys.exit(f"error: input file not found: {args.input}")
+    if args.ckpt and not Path(args.ckpt).exists():
+        sys.exit(f"error: checkpoint not found: {args.ckpt}")
+    wav, fs = read_wav(args.input)
+    wav = _prepare_wav(wav, fs)
+
+    if args.model == "flexicodec":
+        from .models.hcodec.flexicodec import FlexiCodec
+
+        model = FlexiCodec()
+        if args.ckpt:
+            sys.exit("error: flexicodec has no torch-checkpoint converter; "
+                     "train natively and load orbax params")
+        print("WARNING: random weights — reconstruction is not meaningful",
+              file=sys.stderr)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "quant": jax.random.PRNGKey(1)},
+            jnp.zeros((1, 4000)), train=False,
+        )
+        ac, sem = model.apply(variables, jnp.asarray(wav), method="encode")
+        rec = np.asarray(model.apply(variables, ac, sem, method="decode"))[0]
+        rate = float(ac.shape[1]) / (wav.shape[-1] / TARGET_SR)
+    else:  # hcodec10
+        from .models.hcodec.tokenizer import HCodecTokenizer
+
+        if args.ckpt:
+            import torch
+
+            from .models.hcodec.codec import HCodec, hcodec10_config
+            from .models.ssl import wav2vec2 as ssl_mod
+            from .utils.convert_hcodec import convert_hcodec10
+
+            cfg = hcodec10_config()
+            sd = torch.load(args.ckpt, map_location="cpu", weights_only=False)
+            sd = sd.get("state_dict", sd) if isinstance(sd, dict) else sd
+            codec_vars = convert_hcodec10(sd, cfg)
+            rnd = HCodecTokenizer.from_random(jax.random.PRNGKey(0), cfg)
+            tok = HCodecTokenizer(cfg, codec_vars,
+                                  ssl_mod.hubert_base_config(),
+                                  rnd.ssl_variables)
+            print(f"converted HCodec weights from {args.ckpt} (SSL frontend "
+                  "remains HF-random unless converted separately)",
+                  file=sys.stderr)
+        else:
+            print("WARNING: random weights — reconstruction is not "
+                  "meaningful", file=sys.stderr)
+            tok = HCodecTokenizer.from_random(jax.random.PRNGKey(0))
+        x = jnp.asarray(wav)
+        ac, sem = tok.tokenize(x)
+        rec = np.asarray(tok.detokenize(ac, sem))[0]
+        rate = float(ac.shape[1]) / (wav.shape[-1] / TARGET_SR)
+
+    write_wav(args.output, rec, TARGET_SR)
+    print(json.dumps({"model": args.model, "tokens_per_sec": round(rate, 2),
+                      "acoustic_shape": list(np.asarray(ac).shape),
+                      "out": str(args.output)}))
+
+
 def cmd_eval(args):
     """Directory evaluation harness (reference: test.py + trainer.test over
     benchmark dirs, conf/config.yaml:62-105)."""
@@ -261,6 +328,15 @@ def main(argv=None):
     t3.add_argument("--sample", action="store_true")
     t3.add_argument("--seed", type=int, default=0)
     t3.set_defaults(fn=cmd_enhance)
+
+    t5 = sub.add_parser("codec")
+    t5.add_argument("--model", choices=["hcodec10", "flexicodec"],
+                    default="hcodec10")
+    t5.add_argument("--input", required=True)
+    t5.add_argument("--output", required=True)
+    t5.add_argument("--ckpt", default=None,
+                    help="torch weights.pt for hcodec10 (convert_hcodec10)")
+    t5.set_defaults(fn=cmd_codec)
 
     t4 = sub.add_parser("eval")
     t4.add_argument("--test-dir", required=True)

@@ -5,9 +5,17 @@ ConvNeXt adapter, feature_extractors.py:8-57 fbank frontend).
 
 Dual-stream design: a DAC convolutional acoustic branch (RVQ) and an
 fbank-driven semantic branch (ConvNeXt adapter + FSQ), decoded jointly by a
-DAC generator. The reference uses a frozen SenseVoice teacher to supervise the
-semantic branch; here the fbank frontend feeds the adapter directly and the
-teacher hook is an optional training target.
+DAC generator.
+
+Semantic-teacher distillation (modeling_flexicodec.py:786-789): a frozen SSL
+teacher (the SenseVoice role; here any frozen encoder from models/ssl, e.g.
+HuBERT/wav2vec2) produces target representations, and the quantized semantic
+latents are decoded through a small ConvNeXt head trained with
+``lambda_distill * MSE(stop_grad(teacher), head(sq))``. Pass
+``teacher_feats`` to ``__call__`` to get the loss; ``teacher_features``
+builds the target from an SSL model. The inference driver equivalent of
+adaptive/infer.py:10-212 is ``cli.py codec`` (load -> encode -> decode ->
+wav).
 """
 from __future__ import annotations
 
@@ -113,6 +121,10 @@ class FlexiCodecConfig:
     fbank_hop: int = 160  # 10 ms frames, pooled x2 to 50 Hz
     semantic_dim: int = 512
     fsq_levels: Tuple[int, ...] = (8, 5, 5, 5)
+    # frozen-teacher distillation target (modeling_flexicodec.py:113-123)
+    teacher_dim: int = 768  # SSL hidden size (HuBERT-base in SenseVoice role)
+    lambda_distill: float = 15.0
+    distill_head_layers: int = 2
 
 
 class FlexiCodec(nn.Module):
@@ -135,6 +147,14 @@ class FlexiCodec(nn.Module):
             levels=cfg.fsq_levels, name="semantic_quantizer",
         )
         self.fuse = nn.Dense(cfg.latent_dim, name="fuse")
+        # distillation head: quantized semantic latents -> teacher space
+        # (the reference decodes sq through a semantic decoder and matches
+        # the frozen teacher representation, modeling_flexicodec.py:786-789)
+        self.distill_stack = ConvNeXtStack(
+            dim=cfg.semantic_dim, intermediate_dim=cfg.semantic_dim * 3,
+            num_layers=cfg.distill_head_layers, name="distill_stack",
+        )
+        self.distill_proj = nn.Dense(cfg.teacher_dim, name="distill_proj")
         self.decoder = WaveGenerator(
             input_channel=cfg.latent_dim, channels=16 * cfg.d_model,
             rates=tuple(reversed(cfg.rates)),
@@ -161,19 +181,31 @@ class FlexiCodec(nn.Module):
         t = min(z.shape[1], sem_feats.shape[1])
         return z[:, :t], sem_feats[:, :t]
 
-    def __call__(self, wav, train: bool = False):
+    def __call__(self, wav, teacher_feats=None, train: bool = False):
+        """With ``teacher_feats`` (B, T', teacher_dim) from a FROZEN SSL
+        teacher, adds the distillation loss
+        lambda * MSE(stop_grad(teacher), head(sq)) — the SenseVoice
+        supervision of the semantic branch (modeling_flexicodec.py:789)."""
         z, sem_feats = self._encode_latents(wav)
         zq, codes, commit = self.quantizer(z, train=train)
         sq, sem_indices = self.semantic_quantizer(sem_feats)
         fused = self.fuse(jnp.concatenate([zq, sq], axis=-1))
         recon = self.decoder(fused)[..., 0]
-        return {
+        out = {
             "recons": recon,
             "acoustic_codes": codes,
             "semantic_codes": sem_indices,
             "commit_loss": jnp.mean(commit),
             "semantic_latents": sq,
         }
+        if teacher_feats is not None:
+            pred = self.distill_proj(self.distill_stack(sq))
+            t = min(pred.shape[1], teacher_feats.shape[1])
+            target = jax.lax.stop_gradient(teacher_feats[:, :t])
+            out["distill_loss"] = self.config.lambda_distill * jnp.mean(
+                jnp.square(pred[:, :t] - target)
+            )
+        return out
 
     def encode(self, wav):
         z, sem_feats = self._encode_latents(wav)
@@ -186,3 +218,16 @@ class FlexiCodec(nn.Module):
         sq = self.semantic_quantizer.decode_indices(semantic_codes)
         fused = self.fuse(jnp.concatenate([zq, sq], axis=-1))
         return self.decoder(fused)[..., 0]
+
+
+def teacher_features(ssl_model, ssl_variables, wav):
+    """Frozen-teacher target for the distillation loss: mean of all SSL
+    hidden states (the SenseVoice-encoder role, feature_extractors.py:8-57 +
+    modeling_flexicodec.py:36 layer selection; here the layer mix follows
+    the HuBERT recipe). Call OUTSIDE the training jit or inside with frozen
+    variables; the loss stop-grads the result either way."""
+    from ...models.ssl.wav2vec2 import hubert_features
+
+    return jax.lax.stop_gradient(
+        hubert_features(ssl_model.apply(ssl_variables, wav))
+    )
