@@ -10,7 +10,8 @@ import time
 import numpy as np
 
 
-def main(num_slots: int = 8, num_requests: int = 24, dtype: str = "bfloat16"):
+def main(num_slots: int = 8, num_requests: int = 24, dtype: str = "bfloat16",
+         poll_interval: int = 16):
     import jax
     import jax.numpy as jnp
 
@@ -53,11 +54,11 @@ def main(num_slots: int = 8, num_requests: int = 24, dtype: str = "bfloat16"):
     # warmup: fill the pool once end-to-end (compiles prefill waves + step)
     print(json.dumps({"stage": "warmup"}), flush=True)
     eng.run([make_request(10_000 + i) for i in range(num_slots)],
-            jax.random.PRNGKey(1))
+            jax.random.PRNGKey(1), poll_interval=poll_interval)
 
     reqs = [make_request(i) for i in range(num_requests)]
     t0 = time.perf_counter()
-    results = eng.run(reqs, jax.random.PRNGKey(2))
+    results = eng.run(reqs, jax.random.PRNGKey(2), poll_interval=poll_interval)
     dt = time.perf_counter() - t0
     assert len(results) == num_requests
     tokens = num_requests * (33 + 250)
@@ -67,6 +68,7 @@ def main(num_slots: int = 8, num_requests: int = 24, dtype: str = "bfloat16"):
         "num_requests": num_requests,
         "dtype": dtype,
         "kv": "paged",
+        "poll_interval": poll_interval,
         "tokens_per_sec": round(tokens / dt, 1),
         "requests_per_sec": round(num_requests / dt, 2),
         "audio_sec_per_sec": round(num_requests * 5.0 / dt, 2),
@@ -84,4 +86,6 @@ if __name__ == "__main__":
         kw["num_requests"] = int(sys.argv[2])
     if len(sys.argv) > 3:
         kw["dtype"] = sys.argv[3]
+    if len(sys.argv) > 4:
+        kw["poll_interval"] = int(sys.argv[4])
     main(**kw)

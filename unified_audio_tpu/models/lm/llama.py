@@ -86,11 +86,17 @@ class LlamaAttention(nn.Module):
     cfg: LlamaConfig
 
     @nn.compact
-    def __call__(self, x, mask, cos, sin, cache_kv=None, cache_index=None):
-        """x (B, S, D). With cache_kv=(k_buf, v_buf) of (B, max, H, hd), writes
-        new keys at cache_index and attends over the full buffer (masked).
+    def __call__(self, x, mask, cos, sin, k_all, v_all, cache_index, li):
+        """x (B, S, D). The FULL stacked cache (L, B, max, H, hd) rides the
+        layer-scan carry and this layer touches only its ``li`` slice.
 
-        Returns (out, (new_k_buf, new_v_buf))."""
+        Carrying the whole buffer (instead of scanning per-layer slices as
+        xs/ys) is the decode-latency lever on TPU: a scanned cache output
+        forces XLA to materialize a fresh stacked buffer every step (~163 MB
+        at serving size, measured 3.3 ms/step); a linearly-threaded carry
+        updated by a tiny scatter aliases in place (measured 1.5 ms/step).
+
+        Returns (out, k_all, v_all)."""
         cfg = self.cfg
         b, s, _ = x.shape
         h, hd = cfg.num_heads, cfg.head_dim
@@ -105,37 +111,36 @@ class LlamaAttention(nn.Module):
 
         # a zero-sized buffer means "no cache" (training full-forward path);
         # shapes are static so this is a trace-time branch
-        has_cache = cache_kv is not None and cache_kv[0].size > 0
-        if has_cache:
-            k_buf, v_buf = cache_kv
+        if k_all.size > 0:
             if getattr(cache_index, "ndim", 0) == 1:
                 # per-sequence cache positions (continuous-batching decode):
                 # s == 1, scatter each batch row at its own index
                 rows = jnp.arange(b)
-                k_buf = k_buf.at[rows, cache_index].set(
-                    k[:, 0].astype(k_buf.dtype)
+                k_all = k_all.at[li, rows, cache_index].set(
+                    k[:, 0].astype(k_all.dtype), unique_indices=True
                 )
-                v_buf = v_buf.at[rows, cache_index].set(
-                    v[:, 0].astype(v_buf.dtype)
+                v_all = v_all.at[li, rows, cache_index].set(
+                    v[:, 0].astype(v_all.dtype), unique_indices=True
                 )
             else:
-                k_buf = jax.lax.dynamic_update_slice(
-                    k_buf, k.astype(k_buf.dtype), (0, cache_index, 0, 0)
+                k_all = jax.lax.dynamic_update_slice(
+                    k_all, k[None].astype(k_all.dtype),
+                    (li, 0, cache_index, 0, 0),
                 )
-                v_buf = jax.lax.dynamic_update_slice(
-                    v_buf, v.astype(v_buf.dtype), (0, cache_index, 0, 0)
+                v_all = jax.lax.dynamic_update_slice(
+                    v_all, v[None].astype(v_all.dtype),
+                    (li, 0, cache_index, 0, 0),
                 )
-            k, v = k_buf, v_buf
-            new_cache = (k_buf, v_buf)
-        else:
-            new_cache = cache_kv
+            k = jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)
+            v = jax.lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False)
 
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * hd**-0.5
         if mask is not None:
             logits = logits + mask
         probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, s, cfg.hidden_size)
-        return nn.Dense(cfg.hidden_size, use_bias=False, name="o_proj")(out), new_cache
+        return (nn.Dense(cfg.hidden_size, use_bias=False, name="o_proj")(out),
+                k_all, v_all)
 
 
 class LlamaMLP(nn.Module):
@@ -156,16 +161,19 @@ class LlamaLayer(nn.Module):
     cfg: LlamaConfig
 
     @nn.compact
-    def __call__(self, x, mask, cos, sin, cache_kv=None, cache_index=None):
-        h, new_cache = LlamaAttention(self.cfg, name="self_attn")(
+    def __call__(self, carry, mask, cos, sin):
+        """carry = (x, k_all, v_all, cache_index, li): the stacked KV cache
+        threads through the layer scan as CARRY (see LlamaAttention)."""
+        x, k_all, v_all, cache_index, li = carry
+        h, k_all, v_all = LlamaAttention(self.cfg, name="self_attn")(
             RMSNorm(self.cfg.hidden_size, name="input_layernorm")(x),
-            mask, cos, sin, cache_kv, cache_index,
+            mask, cos, sin, k_all, v_all, cache_index, li,
         )
         x = x + h
         x = x + LlamaMLP(self.cfg, name="mlp")(
             RMSNorm(self.cfg.hidden_size, name="post_attention_layernorm")(x)
         )
-        return x, new_cache
+        return (x, k_all, v_all, cache_index, li + 1), None
 
 
 class LlamaBackbone(nn.Module):
@@ -188,12 +196,17 @@ class LlamaBackbone(nn.Module):
             LlamaLayer,
             variable_axes={"params": 0},
             split_rngs={"params": True},
-            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, 0, nn.broadcast),
+            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
             out_axes=0,
             length=self.cfg.num_layers,
         )
         self.layers = scan(self.cfg, name="layers")
         self.norm = RMSNorm(self.cfg.hidden_size, name="norm")
+
+    def _run_layers(self, embeds, mask, cos, sin, k_all, v_all, idx):
+        carry = (embeds, k_all, v_all, idx, jnp.int32(0))
+        (x, k_all, v_all, _, _), _ = self.layers(carry, mask, cos, sin)
+        return x, k_all, v_all
 
     def __call__(self, embeds):
         cfg = self.cfg
@@ -202,17 +215,15 @@ class LlamaBackbone(nn.Module):
         row = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
         mask = jnp.where(col <= row, 0.0, NEG_INF)[None, None]
-        dummy_cache = (
-            jnp.zeros((cfg.num_layers, 0, 0, 0, 0), embeds.dtype),
-            jnp.zeros((cfg.num_layers, 0, 0, 0, 0), embeds.dtype),
-        )
-        x, _ = self.layers(embeds, mask, cos, sin, dummy_cache, None)
+        empty = jnp.zeros((cfg.num_layers, 0, 0, 0, 0), embeds.dtype)
+        x, _, _ = self._run_layers(embeds, mask, cos, sin, empty, empty,
+                                   jnp.int32(0))
         return self.norm(x)
 
     def _cached_forward(self, embeds, cache):
         """Shared prefill/decode body: writes S new positions at cache.index."""
         cfg = self.cfg
-        b, s, _ = embeds.shape
+        s = embeds.shape[1]
         max_len = cache["k"].shape[2]
         idx = cache["index"]
         positions = idx + jnp.arange(s)
@@ -223,8 +234,8 @@ class LlamaBackbone(nn.Module):
         query_pos = positions[:, None]
         mask = jnp.where(key_pos <= query_pos, 0.0, NEG_INF)[None, None]
 
-        x, (new_k, new_v) = self.layers(
-            embeds, mask, cos, sin, (cache["k"], cache["v"]), idx
+        x, new_k, new_v = self._run_layers(
+            embeds, mask, cos, sin, cache["k"], cache["v"], idx
         )
         new_cache = {"k": new_k, "v": new_v, "index": idx + s}
         return self.norm(x), new_cache
@@ -246,8 +257,8 @@ class LlamaBackbone(nn.Module):
         cos, sin = rope_cos_sin(idx[:, None], cfg.head_dim, cfg.rope_theta)
         key_pos = jax.lax.broadcasted_iota(jnp.int32, (b, max_len), 1)
         mask = jnp.where(key_pos <= idx[:, None], 0.0, NEG_INF)[:, None, None]
-        x, (new_k, new_v) = self.layers(
-            embeds, mask, cos, sin, (cache["k"], cache["v"]), idx
+        x, new_k, new_v = self._run_layers(
+            embeds, mask, cos, sin, cache["k"], cache["v"], idx
         )
         new_cache = {"k": new_k, "v": new_v, "index": idx + 1}
         return self.norm(x), new_cache

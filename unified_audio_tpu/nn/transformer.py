@@ -198,6 +198,8 @@ class TransformerLayer(nn.Module):
     num_heads: int
     head_dim: int
     use_moe: bool = False
+    moe_experts: int = 3
+    moe_topk: int = 1
 
     @nn.compact
     def __call__(self, x, mask, cos, sin):
@@ -205,7 +207,8 @@ class TransformerLayer(nn.Module):
             num_heads=self.num_heads, head_dim=self.head_dim, name="self_attn"
         )(RMSNorm(self.hidden_size, name="input_layernorm")(x), mask, cos, sin)
         mlp_cls = (
-            MoE(self.intermediate_size, name="mlp")
+            MoE(self.intermediate_size, n_routed_experts=self.moe_experts,
+                n_activated_experts=self.moe_topk, name="mlp")
             if self.use_moe
             else GatedMLP(self.intermediate_size, name="mlp")
         )
@@ -222,6 +225,8 @@ class Transformer(nn.Module):
     num_layers: int
     head_dim: Optional[int] = None
     use_moe: bool = False
+    moe_experts: int = 3
+    moe_topk: int = 1
     rope_theta: float = 10000.0
     causal: bool = False
     use_sliding_window: bool = False
@@ -246,6 +251,8 @@ class Transformer(nn.Module):
                 num_heads=self.num_heads,
                 head_dim=head_dim,
                 use_moe=self.use_moe,
+                moe_experts=self.moe_experts,
+                moe_topk=self.moe_topk,
                 name=f"layers_{i}",
             )(x, mask, cos, sin)
         return x

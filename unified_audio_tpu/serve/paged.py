@@ -97,8 +97,12 @@ def paged_decode_ids(cfg: LlamaConfig, lm_params, pool, tables, index, active,
     blk = jnp.where(active, blk, TRASH_BLOCK)
     off = jnp.where(active, index % bs, 0)
 
-    def layer_body(x, xs):
-        lp, k_buf, v_buf = xs
+    def layer_body(carry, lp):
+        # the FULL pool rides the carry and each layer scatters only into
+        # its own (li, blk, off) rows: a scanned-xs/ys pool forces XLA to
+        # materialize a fresh stacked buffer every step (measured
+        # 3.3 ms/step at serving size vs 1.5 ms/step carried)
+        x, k_pool, v_pool, li = carry
         hin = _rms(x, lp["input_layernorm"]["weight"])
         qkv = hin @ lp["self_attn"]["qkv_proj"]["kernel"]
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -107,8 +111,12 @@ def paged_decode_ids(cfg: LlamaConfig, lm_params, pool, tables, index, active,
         v = v.reshape(s_slots, 1, h, hd)
         q, k = apply_rope(q, k, cos, sin)
 
-        k_buf = k_buf.at[blk, off].set(k[:, 0].astype(k_buf.dtype))
-        v_buf = v_buf.at[blk, off].set(v[:, 0].astype(v_buf.dtype))
+        k_pool = k_pool.at[li, blk, off].set(
+            k[:, 0].astype(k_pool.dtype), unique_indices=True)
+        v_pool = v_pool.at[li, blk, off].set(
+            v[:, 0].astype(v_pool.dtype), unique_indices=True)
+        k_buf = jax.lax.dynamic_index_in_dim(k_pool, li, 0, keepdims=False)
+        v_buf = jax.lax.dynamic_index_in_dim(v_pool, li, 0, keepdims=False)
         k_all = k_buf[tables].reshape(s_slots, view_len, h, hd)
         v_all = v_buf[tables].reshape(s_slots, view_len, h, hd)
 
@@ -123,10 +131,10 @@ def paged_decode_ids(cfg: LlamaConfig, lm_params, pool, tables, index, active,
         gate_up = hmlp @ lp["mlp"]["gate_up_proj"]["kernel"]
         gate, up = jnp.split(gate_up, 2, axis=-1)
         x = x + (jax.nn.silu(gate) * up) @ lp["mlp"]["down_proj"]["kernel"]
-        return x, (k_buf, v_buf)
+        return (x, k_pool, v_pool, li + 1), None
 
-    x, (new_k, new_v) = jax.lax.scan(
-        layer_body, x, (layers, pool["k"], pool["v"])
+    (x, new_k, new_v, _), _ = jax.lax.scan(
+        layer_body, (x, pool["k"], pool["v"], jnp.int32(0)), layers
     )
     x = _rms(x, lm_params["backbone"]["norm"]["weight"])
     logits = (x[:, 0] @ lm_params["output_head"]["kernel"]).astype(jnp.float32)
