@@ -57,3 +57,29 @@ class TestCodecGANTrainer:
         m1 = tr.train_step(wav, feat, jax.random.PRNGKey(2))  # with adversarial
         assert np.isfinite(m1["gen_loss"]) and np.isfinite(m1["disc_loss"])
         assert m1["adv"] != 0.0
+
+    def test_mesh_step_matches_unsharded(self, rng):
+        """dp-SPMD codec GAN step (params replicated, batch dp-sharded)
+        produces the same generator loss as the single-device step."""
+        from unified_audio_tpu.parallel import mesh as mesh_lib
+
+        cfg = small10()
+        b, t = 8, 640 * 8
+        wav = jnp.asarray(rng.standard_normal((b, t)).astype(np.float32) * 0.3)
+        feat = jnp.asarray(
+            rng.standard_normal((b, t // 320, cfg.feat_dim)).astype(np.float32)
+        )
+        kw = dict(rng=jax.random.PRNGKey(0), example_batch=(wav, feat))
+        plain = CodecGANTrainer(cfg, CodecTrainConfig(perceptual_start_step=1),
+                                **kw)
+        sharded = CodecGANTrainer(cfg, CodecTrainConfig(perceptual_start_step=1),
+                                  mesh=mesh_lib.make_mesh(), **kw)
+        m_plain = plain.train_step(wav, feat, jax.random.PRNGKey(1))
+        m_shard = sharded.train_step(wav, feat, jax.random.PRNGKey(1))
+        assert abs(m_plain["gen_loss"] - m_shard["gen_loss"]) < 1e-4
+        # VQ EMA stats moved identically (global reduction under GSPMD)
+        cb_p = jax.tree_util.tree_leaves(plain.gen_vars["codebook"])
+        cb_s = jax.tree_util.tree_leaves(sharded.gen_vars["codebook"])
+        for a, b_ in zip(cb_p, cb_s):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=1e-4)

@@ -52,7 +52,10 @@ class CodecGANTrainer:
     ):
         self.cfg = train_config
         self.codec_config = codec_config
-        axis = "dp" if mesh is not None else None
+        # dp-SPMD: params replicated, batch sharded over dp; XLA inserts the
+        # gradient psum. VQ EMA stats need no explicit axis under GSPMD —
+        # the stats reductions inside the jitted step are already global
+        # over the sharded batch (the torch all_reduce equivalent).
         self.codec = HCodec(codec_config, vq_axis_name=None)
         self.disc = CodecDiscriminator()
         self.mesh = mesh
@@ -64,6 +67,15 @@ class CodecGANTrainer:
             {"params": k1, "quant": k2}, wav[..., None], feat, train=False
         )
         self.disc_params = self.disc.init(k3, wav[..., None])
+
+        if mesh is not None:
+            rep = lambda tree: jax.device_put(
+                tree, jax.tree_util.tree_map(
+                    lambda _: mesh_lib.replicated(mesh), tree
+                )
+            )
+            self.gen_vars = rep(self.gen_vars)
+            self.disc_params = rep(self.disc_params)
 
         self.gen_opt = optax.chain(
             optax.clip_by_global_norm(train_config.grad_clip),
@@ -149,6 +161,10 @@ class CodecGANTrainer:
 
     def train_step(self, wav: jnp.ndarray, feat: jnp.ndarray, rng):
         """wav (B, T), feat (B, T', D) -> metrics dict."""
+        if self.mesh is not None:
+            sharding = mesh_lib.batch_sharding(self.mesh)
+            wav = jax.device_put(wav, sharding)
+            feat = jax.device_put(feat, sharding)
         use_adv = self.step >= self.cfg.perceptual_start_step
         self.gen_vars, self.gen_opt_state, g_loss, metrics, recon = (
             self._gen_step(self.gen_vars, self.gen_opt_state,
