@@ -122,6 +122,12 @@ class ContinuousBatchingEngine:
         self._slot_blocks: List[List[int]] = [[] for _ in range(num_slots)]
         self._uids: List[Optional[int]] = [None] * num_slots
         self._phase_cache: Optional[np.ndarray] = None
+        # host-side mirror of each slot's remaining decode steps: decode
+        # lengths are FIXED (global_length+1 then semantic_length, no EOS
+        # early-exit — mirroring llm_sft.py's fixed-length phases), so the
+        # scheduler knows exactly when the next slot completes and only
+        # pays a device->host sync at those points
+        self._remaining: List[int] = [0] * num_slots
 
         s = num_slots
         self.state = {
@@ -389,6 +395,7 @@ class ContinuousBatchingEngine:
                 blocks = self.allocator.alloc(n_blk)
                 self._slot_blocks[slot] = blocks
                 self._uids[slot] = r.uid
+                self._remaining[slot] = r.global_length + 1 + r.semantic_length
                 slot_ids[i] = slot
                 tables[i, : n_blk] = blocks
                 task_ids[i] = r.task_id
@@ -415,8 +422,10 @@ class ContinuousBatchingEngine:
                 slot_ids=jnp.asarray(slot_ids),
                 tables=jnp.asarray(tables),
                 task_ids=jnp.asarray(task_ids),
-                mix_feats=jnp.asarray(mix),
-                enroll_feats=jnp.asarray(enroll),
+                # cast to the engine compute dtype BEFORE the host->device
+                # transfer: halves the bytes over the tunnel for bf16 engines
+                mix_feats=jnp.asarray(mix, dtype=self.kv_dtype),
+                enroll_feats=jnp.asarray(enroll, dtype=self.kv_dtype),
                 n_head=jnp.asarray(n_head),
                 true_total=jnp.asarray(true_totals),
                 glens=jnp.asarray(glens), slens=jnp.asarray(slens),
@@ -436,6 +445,9 @@ class ContinuousBatchingEngine:
         self.pool, self.state = self._step_n(lm_params, self.pool,
                                              self.state, n=n)
         self._phase_cache = None
+        for i in range(self.num_slots):
+            if self._uids[i] is not None:
+                self._remaining[i] = max(0, self._remaining[i] - n)
 
     def harvest(self) -> List[Result]:
         phase = self._phase_host()
@@ -462,13 +474,14 @@ class ContinuousBatchingEngine:
         return out
 
     def run(self, requests: List[Request], rng,
-            poll_interval: int = 16) -> Dict[int, Result]:
-        """Drive the pool until all requests complete (simple scheduler).
+            poll_interval: int = 64) -> Dict[int, Result]:
+        """Drive the pool until all requests complete.
 
-        ``poll_interval`` batches device steps between host-side harvest
-        polls: each poll costs a device->host sync, which dominates on
-        remote-attached chips (stepping an all-done pool is a no-op, so
-        over-stepping by up to poll_interval is harmless)."""
+        Deterministic scheduling: decode lengths are fixed (no EOS
+        early-exit), so the engine steps straight to the next completion
+        point in ``poll_interval``-sized dispatches of ONE compiled program
+        and pays a device->host sync only there — on remote-attached chips
+        every sync is a full tunnel round trip (measured ~70 ms)."""
         pending = list(requests)
         results: Dict[int, Result] = {}
         i = 0
@@ -481,10 +494,15 @@ class ContinuousBatchingEngine:
                         "requests cannot be admitted (KV pool too small for "
                         "any pending request)")
                 pending = [r for r in pending if r.uid not in admitted]
-            self.step(n=poll_interval)
+            active = [self._remaining[s] for s in range(self.num_slots)
+                      if self._uids[s] is not None and self._remaining[s] > 0]
+            next_done = min(active) if active else 1
+            # chunked dispatches (no syncs in between) up to the completion
+            for _ in range(-(-next_done // poll_interval)):
+                self.step(n=poll_interval)
             for r in self.harvest():
                 results[r.uid] = r
-            i += poll_interval
-            if i > 200000:
+            i += next_done
+            if i > 400000:
                 raise RuntimeError("engine did not converge")
         return results
