@@ -170,3 +170,85 @@ def test_metrics_logger(tmp_path):
         log.log(2, loss=2.0, acc=0.6)
     lines = [_json.loads(l) for l in p.read_text().splitlines()]
     assert lines[0]["step"] == 1 and lines[1]["loss"] == 2.0
+
+
+class TestTokenCorpus:
+    """Pretraining token-corpus pipeline (the data driver the reference
+    omits for CustomLlamaModel.forward, llm.py:107-147)."""
+
+    def _make_shards(self, tmp_path, rng, n_shards=2, per_shard=8):
+        from unified_audio_tpu.data.token_corpus import write_token_shard
+
+        paths = []
+        for si in range(n_shards):
+            utts = []
+            for i in range(per_shard):
+                g = rng.integers(0, 64, 4)
+                s = rng.integers(0, 128, int(rng.integers(10, 40)))
+                utts.append((g, s))
+            p = tmp_path / f"tokens_{si:05d}.npz"
+            write_token_shard(p, utts)
+            paths.append(p)
+        return paths
+
+    def test_iterator_shapes_and_ranges(self, tmp_path, rng):
+        from unified_audio_tpu.data.token_corpus import TokenCorpusIterator
+
+        paths = self._make_shards(tmp_path, rng)
+        it = iter(TokenCorpusIterator(paths, batch_size=4, semantic_len=16))
+        for _ in range(6):
+            g, s, cond = next(it)
+            assert g.shape == (4, 4) and s.shape == (4, 16)
+            assert cond is None
+            assert g.dtype == np.int32 and s.dtype == np.int32
+            assert 0 <= s.min() and s.max() < 128
+
+    def test_process_sharding_disjoint(self, tmp_path, rng):
+        from unified_audio_tpu.data.token_corpus import TokenCorpusIterator
+
+        paths = self._make_shards(tmp_path, rng, n_shards=4)
+        a = TokenCorpusIterator(paths, 2, process_index=0, process_count=2)
+        b = TokenCorpusIterator(paths, 2, process_index=1, process_count=2)
+        assert set(a.paths).isdisjoint(b.paths)
+        assert set(a.paths) | set(b.paths) == {str(p) for p in paths}
+
+    def test_feeds_pretrain_trainer(self, tmp_path, rng):
+        from unified_audio_tpu.data.token_corpus import TokenCorpusIterator
+        from unified_audio_tpu.models.lm.llama import LlamaConfig
+        from unified_audio_tpu.train.pretrain import PretrainTrainer
+
+        import jax
+
+        paths = self._make_shards(tmp_path, rng)
+        cfg = LlamaConfig(global_size=64, semantic_size=128, hidden_size=32,
+                          num_layers=2, num_heads=4)
+        tr = PretrainTrainer(cfg, jax.random.PRNGKey(0))
+        it = iter(TokenCorpusIterator(paths, batch_size=2, semantic_len=12))
+        losses = []
+        for _ in range(3):
+            g, s, cond = next(it)
+            loss, acc = tr.train_step(g, s, cond)
+            losses.append(float(loss))
+        assert all(np.isfinite(l) for l in losses)
+
+    def test_tokenize_corpus_roundtrip(self, tmp_path, rng):
+        from unified_audio_tpu.data.token_corpus import (
+            TokenCorpusIterator, tokenize_corpus,
+        )
+
+        class FakeTok:
+            def tokenize(self, wav):
+                t = wav.shape[-1] // 100
+                return (np.arange(4)[None, None],
+                        np.arange(t)[None] % 128)
+
+        def fake_read(path):
+            return np.zeros((1, 1500), np.float32), 16000
+
+        wavs = [f"u{i}.wav" for i in range(5)]
+        shards = tokenize_corpus(FakeTok(), wavs, tmp_path / "corpus",
+                                 utterances_per_shard=2, read_wav=fake_read)
+        assert len(shards) == 3
+        it = iter(TokenCorpusIterator(shards, batch_size=2, semantic_len=8))
+        g, s, _ = next(it)
+        assert g.shape == (2, 4) and s.shape == (2, 8)
