@@ -1,0 +1,91 @@
+"""CLI plumbing tests with a tiny UniSE stack (full-size builds are minutes;
+the tiny stack exercises the same code paths)."""
+import json
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from unified_audio_tpu.data.audio_io import write_wav
+
+
+def tiny_unise():
+    from unified_audio_tpu.models.bicodec.bicodec import BiCodecConfig
+    from unified_audio_tpu.models.bicodec.tokenizer import BiCodecTokenizer
+    from unified_audio_tpu.models.lm.llama import LlamaConfig
+    from unified_audio_tpu.models.ssl import wav2vec2 as ssl_mod
+    from unified_audio_tpu.models.unise.model import UniSE, UniSEConfig
+
+    bicodec_cfg = BiCodecConfig(
+        ref_segment_duration=0.2,
+        feat_dim=32, vocos_dim=32, vocos_intermediate_dim=64,
+        vocos_num_layers=1, latent_dim=32, codebook_size=64, codebook_dim=8,
+        spk_out_dim=32, spk_latent_dim=16, token_num=4, fsq_levels=(4, 4, 4),
+        num_mels=32, mel_n_fft=256, mel_win=160, mel_hop=80,
+        wave_channels=32, wave_rates=(8, 5, 4, 2), wave_kernels=(16, 11, 8, 4),
+    )
+    ssl_tiny = ssl_mod.SSLConfig(
+        hidden_size=32, num_layers=2, num_heads=4, intermediate_size=32,
+        conv_dim=(16,) * 7, num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4,
+    )
+    wavlm_tiny = ssl_mod.SSLConfig(
+        hidden_size=24, num_layers=2, num_heads=4, intermediate_size=32,
+        conv_dim=(16,) * 7, num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4, use_rel_pos_bias=True,
+        num_buckets=32, max_distance=80,
+    )
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    tok = BiCodecTokenizer.from_random(k1, bicodec_cfg, ssl_tiny)
+    wavlm = ssl_mod.Wav2Vec2Model(wavlm_tiny)
+    wavlm_vars = wavlm.init(k2, jnp.zeros((1, 16320)))
+    cfg = UniSEConfig(
+        segment_seconds=0.4, feats_dim=24, global_tokens=4,
+        llm=LlamaConfig(global_size=64, semantic_size=64, hidden_size=32,
+                        num_layers=2, num_heads=4),
+    )
+    return UniSE(cfg, tok, wavlm_tiny, wavlm_vars, rng={"params": k3})
+
+
+class TestServeCLI:
+    def test_serve_jsonl_roundtrip(self, tmp_path, rng, monkeypatch):
+        from unified_audio_tpu import cli
+
+        unise = tiny_unise()
+        monkeypatch.setattr(cli, "_build_unise",
+                            lambda seed=3407, ckpt=None: unise)
+
+        wav = (0.2 * rng.standard_normal(9600)).astype(np.float32)
+        write_wav(tmp_path / "mix.wav", wav, 16000)
+        write_wav(tmp_path / "enroll.wav", wav, 16000)
+        reqs = [
+            {"task": "se", "mix": str(tmp_path / "mix.wav"),
+             "output": str(tmp_path / "out_se.wav"), "do_sample": False},
+            {"task": "tse", "mix": str(tmp_path / "mix.wav"),
+             "enroll": str(tmp_path / "enroll.wav"),
+             "output": str(tmp_path / "out_tse.wav"), "top_k": 5},
+        ]
+        req_file = tmp_path / "reqs.jsonl"
+        req_file.write_text("\n".join(json.dumps(r) for r in reqs))
+
+        cli.main(["serve", "--requests", str(req_file), "--slots", "2"])
+        for r in reqs:
+            out, fs = __import__(
+                "unified_audio_tpu.data.audio_io", fromlist=["read_wav"]
+            ).read_wav(r["output"])
+            assert fs == 16000
+            assert out.shape[-1] == 9600
+            assert np.isfinite(out).all()
+
+    def test_serve_validates_inputs(self, tmp_path):
+        from unified_audio_tpu import cli
+
+        with pytest.raises(SystemExit):
+            cli.main(["serve", "--requests", str(tmp_path / "missing.jsonl")])
+        bad = tmp_path / "bad.jsonl"
+        bad.write_text(json.dumps({"task": "tse", "mix": "nope.wav",
+                                   "output": "o.wav"}))
+        with pytest.raises(SystemExit):
+            cli.main(["serve", "--requests", str(bad)])

@@ -283,6 +283,84 @@ def cmd_codec(args):
                       "out": str(args.output)}))
 
 
+def cmd_serve(args):
+    """Continuous-batching batch server: a JSONL request file streams
+    through the paged-KV engine (mixed SE/TSE/rTSE in one pool).
+
+    Each line: {"uid": int, "task": "se"|"tse"|"rtse", "mix": "path.wav",
+    "enroll": "path.wav"(tse/rtse), "output": "out.wav",
+    "temperature"/"top_k"/"top_p"/"do_sample" optional}."""
+    import jax
+    import jax.numpy as jnp
+
+    from .data.audio_io import read_wav, write_wav
+
+    if not Path(args.requests).exists():
+        sys.exit(f"error: request file not found: {args.requests}")
+    lines = [json.loads(l) for l in Path(args.requests).read_text().splitlines()
+             if l.strip()]
+    if not lines:
+        sys.exit("error: no requests")
+    for l in lines:
+        if not Path(l["mix"]).exists():
+            sys.exit(f"error: mix wav not found: {l['mix']}")
+        if l.get("task", "se") != "se" and not l.get("enroll"):
+            sys.exit(f"error: task {l.get('task')} requires 'enroll'")
+
+    from .models.lm.llama import LlamaConfig  # noqa: F401 (doc anchor)
+    from .serve.engine import ContinuousBatchingEngine, Request
+
+    unise = _build_unise(ckpt=args.ckpt)
+    cfg = unise.config
+    task_map = {"se": 0, "tse": 1, "rtse": 2}
+    seg = cfg.segment_len
+    sem_len = unise._semantic_len()
+
+    # one Request per 5-s segment; mixed tasks share the pool
+    reqs, meta = [], {}
+    uid = 0
+    for l in lines:
+        wav, fs = read_wav(l["mix"])
+        wav = _prepare_wav(wav, fs)
+        segs, orig_len = unise._segment(wav)
+        peak = np.abs(wav).max() or 1.0
+        feats = np.asarray(unise.extract_semantic_features(
+            jnp.asarray(segs / peak)))
+        enroll_feats = None
+        if l.get("enroll"):
+            e, efs = read_wav(l["enroll"])
+            e = _prepare_wav(e, efs)[:, :seg]
+            enroll_feats = np.asarray(unise.extract_semantic_features(
+                jnp.asarray(e / (np.abs(e).max() or 1.0))))[0]
+        seg_uids = []
+        for i in range(feats.shape[0]):
+            reqs.append(Request(
+                task_id=task_map[l.get("task", "se")], mix_feats=feats[i],
+                enroll_feats=enroll_feats,
+                global_length=cfg.global_tokens, semantic_length=sem_len,
+                temperature=l.get("temperature", 0.8),
+                top_k=l.get("top_k", 50), top_p=l.get("top_p", 0.95),
+                do_sample=l.get("do_sample", True), uid=uid))
+            seg_uids.append(uid)
+            uid += 1
+        meta[l["output"]] = (seg_uids, orig_len)
+
+    eng = ContinuousBatchingEngine(
+        unise.sft, unise.sft_params, num_slots=args.slots,
+        max_global=cfg.global_tokens, max_semantic=sem_len + 6,
+        mix_buckets=(sem_len + 6,), dtype=jnp.bfloat16 if args.bf16 else None,
+    )
+    results = eng.run(reqs, jax.random.PRNGKey(args.seed))
+
+    for out_path, (seg_uids, orig_len) in meta.items():
+        g = np.stack([results[u].global_ids for u in seg_uids])
+        s = np.stack([results[u].semantic_ids for u in seg_uids])
+        est = unise._decode_tokens(jnp.asarray(g), jnp.asarray(s), orig_len)
+        write_wav(out_path, est, TARGET_SR)
+    print(json.dumps({"requests": len(lines), "segments": len(reqs),
+                      "outputs": list(meta)}))
+
+
 def cmd_eval(args):
     """Directory evaluation harness (reference: test.py + trainer.test over
     benchmark dirs, conf/config.yaml:62-105)."""
@@ -337,6 +415,15 @@ def main(argv=None):
     t5.add_argument("--ckpt", default=None,
                     help="torch weights.pt for hcodec10 (convert_hcodec10)")
     t5.set_defaults(fn=cmd_codec)
+
+    t6 = sub.add_parser("serve")
+    t6.add_argument("--requests", required=True,
+                    help="JSONL request file (see cmd_serve docstring)")
+    t6.add_argument("--ckpt", default=None)
+    t6.add_argument("--slots", type=int, default=8)
+    t6.add_argument("--bf16", action="store_true", default=True)
+    t6.add_argument("--seed", type=int, default=0)
+    t6.set_defaults(fn=cmd_serve)
 
     t4 = sub.add_parser("eval")
     t4.add_argument("--test-dir", required=True)
