@@ -61,9 +61,16 @@ def _thirds_octave_bands(fs: int, n_fft: int, num_bands: int = 15,
 def stoi(est: np.ndarray, ref: np.ndarray, fs: int = 16000) -> float:
     """Short-time objective intelligibility (classic STOI, no extended mode).
 
-    Follows Taal et al. 2011: 10 kHz resample via polyphase, 512-pt STFT with
-    256 hop, 15 third-octave bands from 150 Hz, 384 ms (30-frame) segments,
-    energy-based silence removal, clipped correlation.
+    Follows Taal et al. 2011: 10 kHz polyphase resample, 512-pt FFT over
+    256-sample Hann frames at 128 hop (the paper's 50%-overlap convention,
+    same framing as pystoi), 15 third-octave bands from 150 Hz, 384 ms
+    (30-frame) segments, energy-based silence removal, clipped correlation.
+
+    Caveat: this is a from-scratch implementation (no STOI wheel in this
+    image) — use for relative comparisons and regression gates; small
+    deviations from pystoi (band-edge rounding, silence-threshold details)
+    are possible, so don't quote values against published STOI tables
+    without a cross-check.
     """
     import scipy.signal
 
