@@ -195,3 +195,56 @@ class TestExpertParallel:
         for (pa, a), (pb, b) in zip(flat_ref, flat_sh):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=3e-5, err_msg=str(pa))
+
+
+class TestShardedServing:
+    """Tensor-parallel paged decode: the serving hot path under a tp mesh
+    (LM kernels sharded by LM_RULES, KV pool sharded over heads) must equal
+    unsharded execution — GSPMD inserts the collectives."""
+
+    def test_paged_decode_tp_matches_unsharded(self, rng):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from unified_audio_tpu.models.lm.llama import LlamaConfig
+        from unified_audio_tpu.models.lm.sft import LLMSFT
+        from unified_audio_tpu.serve.paged import init_pool, paged_decode_ids
+
+        cfg = LlamaConfig(global_size=16, semantic_size=32, hidden_size=32,
+                          num_layers=2, num_heads=4)
+        sft = LLMSFT(cfg, num_tasks=3, feats_dim=12)
+        params = sft.init(
+            jax.random.PRNGKey(0), 0, None, jnp.zeros((1, 6, 12)),
+            jnp.zeros((1, 4), jnp.int32), jnp.zeros((1, 6), jnp.int32),
+        )
+        lm_params = params["params"]["lm"]
+
+        s_slots, bs, mb = 3, 4, 4
+        nb = 1 + s_slots * mb
+        pool = init_pool(cfg, nb, bs)
+        pool = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(
+                rng.standard_normal(p.shape).astype(np.float32)), pool)
+        tables = jnp.asarray(
+            np.arange(1, 1 + s_slots * mb).reshape(s_slots, mb), jnp.int32)
+        index = jnp.asarray([5, 9, 0], jnp.int32)
+        active = jnp.ones((s_slots,), bool)
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (s_slots,)),
+                          jnp.int32)
+
+        ref_logits, ref_pool = paged_decode_ids(
+            cfg, lm_params, pool, tables, index, active, ids, bs)
+
+        mesh = mesh_lib.make_mesh(dp=2, tp=4)
+        lm_sh = jax.device_put(lm_params,
+                               mesh_lib.param_shardings(lm_params, mesh))
+        head_spec = NamedSharding(mesh, P(None, None, None, "tp", None))
+        pool_sh = jax.tree_util.tree_map(
+            lambda p: jax.device_put(p, head_spec), pool)
+
+        fn = jax.jit(lambda lp, pl: paged_decode_ids(
+            cfg, lp, pl, tables, index, active, ids, bs))
+        sh_logits, sh_pool = fn(lm_sh, pool_sh)
+        np.testing.assert_allclose(np.asarray(ref_logits),
+                                   np.asarray(sh_logits), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(ref_pool["k"]),
+                                   np.asarray(sh_pool["k"]), atol=2e-5)
