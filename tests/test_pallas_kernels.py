@@ -1,5 +1,6 @@
 """Pallas kernels vs XLA reference paths (interpret mode on the CPU mesh)."""
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from unified_audio_tpu.ops import quant
@@ -59,3 +60,60 @@ class TestVQKernel:
             vq_kernel.rvq_encode_fused_pallas(x, cbs, interpret=True)
         )
         np.testing.assert_array_equal(ours, ref)
+
+
+class TestPagedFlashDecode:
+    """Paged flash-decode kernel == the XLA full-pool attention math."""
+
+    def test_matches_xla_paged_attention(self, rng):
+        from unified_audio_tpu.ops.pallas.paged_attention import (
+            paged_flash_decode,
+        )
+
+        L, NB, BS, H, hd = 2, 7, 8, 4, 16
+        S, MB = 3, 3
+        kpool = jnp.asarray(rng.standard_normal((L, NB, BS, H, hd)),
+                            jnp.float32)
+        vpool = jnp.asarray(rng.standard_normal((L, NB, BS, H, hd)),
+                            jnp.float32)
+        tables = jnp.asarray([[1, 2, 0], [3, 4, 5], [6, 0, 0]], jnp.int32)
+        index = jnp.asarray([11, 20, 3], jnp.int32)
+        q = jnp.asarray(rng.standard_normal((S, H, hd)), jnp.float32)
+
+        for li in range(L):
+            got = paged_flash_decode(q, kpool, vpool, tables, index, li,
+                                     interpret=True)
+            # reference: gather each slot's logical view, mask, softmax
+            view_k = kpool[li][tables].reshape(S, MB * BS, H, hd)
+            view_v = vpool[li][tables].reshape(S, MB * BS, H, hd)
+            pos = np.arange(MB * BS)[None]
+            mask = np.where(pos <= np.asarray(index)[:, None], 0.0, -1e30)
+            logits = jnp.einsum("shd,skhd->shk", q, view_k) * hd**-0.5
+            logits = logits + mask[:, None]
+            probs = jax.nn.softmax(logits, axis=-1)
+            want = jnp.einsum("shk,skhd->shd", probs, view_v)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=2e-5, err_msg=f"layer {li}")
+
+    def test_unallocated_blocks_masked(self, rng):
+        """Entries pointing at the trash block beyond the slot's length must
+        contribute nothing even if the trash block holds garbage."""
+        from unified_audio_tpu.ops.pallas.paged_attention import (
+            paged_flash_decode,
+        )
+
+        L, NB, BS, H, hd = 1, 4, 8, 4, 16
+        kpool = jnp.asarray(rng.standard_normal((L, NB, BS, H, hd)) * 100,
+                            jnp.float32)
+        vpool = jnp.asarray(rng.standard_normal((L, NB, BS, H, hd)) * 100,
+                            jnp.float32)
+        q = jnp.asarray(rng.standard_normal((1, H, hd)), jnp.float32)
+        # slot owns block 1 only (positions 0..7), index 5
+        t_trash = jnp.asarray([[1, 0, 0]], jnp.int32)
+        t_other = jnp.asarray([[1, 2, 3]], jnp.int32)  # same masked positions
+        idx = jnp.asarray([5], jnp.int32)
+        a = paged_flash_decode(q, kpool, vpool, t_trash, idx, 0,
+                               interpret=True)
+        b = paged_flash_decode(q, kpool, vpool, t_other, idx, 0,
+                               interpret=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

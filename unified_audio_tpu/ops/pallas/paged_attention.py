@@ -1,0 +1,126 @@
+"""Pallas TPU kernel: paged flash-decode attention over a block table.
+
+The serving decode step attends each slot's single query over its paged KV
+blocks. The XLA path (serve/paged.py) reads the whole pool and materializes
+an (S, NB*BS) logits buffer + mask per layer; this kernel DMA's exactly the
+slot's own blocks (addressed through the scalar-prefetched block table) and
+keeps the flash running-softmax state in VMEM scratch, so per-step HBM
+traffic is just the owned KV blocks.
+
+Grid (S, MB): step (s, m) processes logical block m of slot s, all heads at
+once. Per-head contractions are expressed as elementwise multiply +
+reductions (q·k over the lane dim, p·v over the sublane dim) — Mosaic
+rejects batched dot_general dimension numbers, and at decode shapes
+(1 query × 64 keys × 64 dims) the op is bandwidth-bound anyway. The layer
+index rides scalar prefetch so the kernel slices the stacked
+(L, NB, BS, H, hd) pool directly.
+
+Falls back to interpret mode off-TPU so the math is test-covered on CPU
+(tests/test_pallas_kernels.py pins equality with the XLA paged path).
+
+MEASURED VERDICT (v5e, UniSE serving shapes: 8 slots x 13 blocks x 64 x
+8 heads x 64): compiles and matches XLA (bf16 max err 7.7e-4) but runs at
+0.70 ms per layer call — the 104-step grid serializes one small (131 KB)
+DMA per step. The XLA full-pool formulation in serve/paged.py does all 12
+layers in 1.29 ms (~0.11 ms/layer) with large fused reads, so it remains
+the production decode path; this kernel is kept as the evaluated
+alternative (it would need multi-block DMAs + double buffering to win).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _kernel(tables_ref, index_ref, li_ref, q_ref, kpool_ref, vpool_ref,
+            out_ref, acc_ref, m_ref, l_ref):
+    s = pl.program_id(0)
+    m = pl.program_id(1)
+    num_m = pl.num_programs(1)
+
+    @pl.when(m == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0].astype(jnp.float32)          # (H, hd)
+    k = kpool_ref[0, 0].astype(jnp.float32)   # (BS, H, hd)
+    v = vpool_ref[0, 0].astype(jnp.float32)   # (BS, H, hd)
+    bs = k.shape[0]
+    hd = q.shape[-1]
+
+    # per-head q.k: elementwise multiply, reduce the lane (hd) dim -> (BS, H)
+    logits = jnp.sum(k * q[None], axis=-1) * (hd ** -0.5)
+
+    # positions covered by this logical block: m*BS + [0, BS)
+    idx = index_ref[s]
+    pos = m * bs + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
+    logits = jnp.where(pos <= idx, logits, NEG_INF)
+
+    m_old = m_ref[0]                           # (H,)
+    m_new = jnp.maximum(m_old, jnp.max(logits, axis=0))
+    scale = jnp.exp(m_old - m_new)             # (H,)
+    p = jnp.exp(logits - m_new[None])          # (BS, H)
+    l_new = l_ref[0] * scale + jnp.sum(p, axis=0)
+    # p.v: broadcast over hd, reduce the sublane (BS) dim -> (H, hd)
+    pv = jnp.sum(p[:, :, None] * v, axis=0)
+    acc_ref[:] = acc_ref[:] * scale[:, None] + pv
+    m_ref[0] = m_new
+    l_ref[0] = l_new
+
+    @pl.when(m == num_m - 1)
+    def _finish():
+        out_ref[0] = (acc_ref[:] /
+                      jnp.maximum(l_ref[0], 1e-30)[:, None]).astype(
+            out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def paged_flash_decode(q, kpool, vpool, tables, index, li,
+                       interpret: bool = False):
+    """q (S, H, hd); kpool/vpool (L, NB, BS, H, hd); tables (S, MB) int32;
+    index (S,) int32 (current position per slot, already containing the new
+    token's K/V at that position); li scalar int32 layer -> attn (S, H, hd).
+
+    Equivalent to softmax(q . K_owned / sqrt(hd)) @ V_owned with key
+    positions <= index, where "owned" = the blocks in the slot's table.
+    Unallocated table entries (pointing at the trash block) stay masked
+    because blocks cover exactly positions [0, need): entries at or beyond
+    the allocation always satisfy m*BS > index.
+    """
+    s_slots, h, hd = q.shape
+    _, _, bs, _, _ = kpool.shape
+    mb = tables.shape[1]
+
+    grid = (s_slots, mb)
+    kernel = pl.pallas_call(
+        _kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, h, hd), lambda s, m, t, i, l: (s, 0, 0)),
+                pl.BlockSpec((1, 1, bs, h, hd),
+                             lambda s, m, t, i, l: (l[0], t[s, m], 0, 0, 0)),
+                pl.BlockSpec((1, 1, bs, h, hd),
+                             lambda s, m, t, i, l: (l[0], t[s, m], 0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, h, hd), lambda s, m, t, i, l: (s, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((h, hd), jnp.float32),
+                pltpu.VMEM((1, h), jnp.float32),
+                pltpu.VMEM((1, h), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((s_slots, h, hd), q.dtype),
+        interpret=interpret,
+    )
+    return kernel(tables, index, jnp.asarray(li, jnp.int32).reshape(1),
+                  q, kpool, vpool)
