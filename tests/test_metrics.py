@@ -102,6 +102,51 @@ class TestUTMOSProxy:
             rng.standard_normal(16000).astype(np.float32)) <= 5.0
 
 
+class TestSpkSim:
+    def test_cosine_properties(self, rng):
+        a = rng.standard_normal(192)
+        assert abs(metrics.spk_sim(a, a) - 1.0) < 1e-9
+        assert abs(metrics.spk_sim(a, -a) + 1.0) < 1e-9
+        b = rng.standard_normal(192)
+        assert -1.0 <= metrics.spk_sim(a, b) <= 1.0
+
+    def test_ecapa_embed_fn(self, rng):
+        """Same utterance (clean vs lightly degraded) scores higher than a
+        structurally different signal through the BiCodec x-vector branch."""
+        from unified_audio_tpu.models.bicodec.bicodec import (BiCodec,
+                                                              BiCodecConfig)
+
+        cfg = BiCodecConfig(
+            feat_dim=32, vocos_dim=32, vocos_intermediate_dim=64,
+            vocos_num_layers=1, latent_dim=32, codebook_size=64,
+            codebook_dim=8, spk_out_dim=32, spk_latent_dim=16, token_num=4,
+            num_mels=32, mel_n_fft=256, mel_win=160, mel_hop=80,
+            wave_channels=32, wave_rates=(4, 2), wave_kernels=(8, 4),
+        )
+        import jax
+        import jax.numpy as jnp
+
+        model = BiCodec(cfg)
+        t = 16000
+        feat = jnp.zeros((1, t // 320, cfg.feat_dim))
+        variables = model.init(jax.random.PRNGKey(0), feat,
+                               jnp.zeros((1, t)))
+        embed = metrics.make_spk_embed_fn(model, variables)
+
+        tt = np.arange(t) / 16000.0
+        voiced = (np.sin(2 * np.pi * 180 * tt)
+                  * (0.6 + 0.4 * np.sin(2 * np.pi * 4 * tt))
+                  ).astype(np.float32)[None]
+        degraded = voiced + 0.02 * rng.standard_normal((1, t)).astype(
+            np.float32)
+        other = rng.standard_normal((1, t)).astype(np.float32)
+
+        same = metrics.spk_sim(embed(voiced), embed(degraded))
+        diff = metrics.spk_sim(embed(voiced), embed(other))
+        assert same > diff
+        assert same > 0.9
+
+
 class TestSpectral:
     def test_lsd(self, speechlike, rng):
         assert metrics.lsd(speechlike, speechlike) < 1e-3

@@ -350,6 +350,42 @@ def utmos_proxy(x: np.ndarray, fs: int = 16000) -> float:
     return float(np.clip(score, 1.0, 5.0))
 
 
+def spk_sim(emb_est: np.ndarray, emb_ref: np.ndarray) -> float:
+    """Speaker similarity = cosine of two speaker embeddings (the SPK-SIM
+    column of the H-Codec results table, BASELINE.md / SURVEY §6).
+
+    The published number uses a pretrained speaker-verification model; this
+    function scores ANY embedding pair — pair it with
+    :func:`make_spk_embed_fn` (the package's ECAPA-TDNN x-vector branch,
+    models/bicodec/speaker.py) once trained/converted weights are loaded.
+    """
+    a = np.asarray(emb_est, np.float64).reshape(-1)
+    b = np.asarray(emb_ref, np.float64).reshape(-1)
+    denom = np.linalg.norm(a) * np.linalg.norm(b) + 1e-12
+    return float(np.dot(a, b) / denom)
+
+
+def make_spk_embed_fn(bicodec, variables):
+    """wav (1, T) float -> x-vector (E,) through BiCodec's mel frontend and
+    ECAPA-TDNN speaker encoder (bicodec.py:189). Jitted once; reuse across
+    utterances (pad/trim callers keep shapes static per call site)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _emb(wav):
+        def f(m, w):
+            xv, _ = m.speaker_encoder(m.mel(w), False)
+            return xv
+
+        return bicodec.apply(variables, wav, method=f)
+
+    def embed(wav: np.ndarray) -> np.ndarray:
+        return np.asarray(_emb(jnp.asarray(wav, jnp.float32)))[0]
+
+    return embed
+
+
 def mcd(est: np.ndarray, ref: np.ndarray, fs: int = 16000, n_mfcc: int = 13,
         n_fft: int = 1024, hop: int = 256, n_mels: int = 40) -> float:
     """Mel-cepstral distance (dB) over aligned frames."""

@@ -56,8 +56,12 @@ def iter_test_dir(cfg: EvalConfig):
         yield f.stem, src[:1], tgt[:1] if tgt is not None else None, enroll, fs
 
 
-def evaluate(unise, cfg: EvalConfig, rng=None) -> Dict[str, float]:
-    """Run the task flow over the directory; -> aggregated metrics."""
+def evaluate(unise, cfg: EvalConfig, rng=None,
+             spk_embed_fn=None) -> Dict[str, float]:
+    """Run the task flow over the directory; -> aggregated metrics.
+
+    ``spk_embed_fn`` (wav (1,T) -> embedding, e.g. metrics.make_spk_embed_fn)
+    adds the SPK-SIM column of the H-Codec results table."""
     import jax
 
     rng = rng if rng is not None else jax.random.PRNGKey(0)
@@ -83,14 +87,20 @@ def evaluate(unise, cfg: EvalConfig, rng=None) -> Dict[str, float]:
         if tgt is not None and cfg.mode in ("se", "tse"):
             ref = tgt[0][: len(est)]
             raw_pesq = M.pesq(est[: len(ref)], ref, fs)
-            per_utt.append({
+            utt = {
                 "stoi": M.stoi(est[: len(ref)], ref, fs),
                 "pesq": raw_pesq,
                 "pesq_mos_lqo": M.pesq_mos_lqo(raw_pesq),
                 "utmos_proxy": M.utmos_proxy(est, fs),
                 "si_snr": M.si_snr(est[: len(ref)], ref),
                 "lsd": M.lsd(est[: len(ref)], ref),
-            })
+            }
+            if spk_embed_fn is not None:
+                utt["spk_sim"] = M.spk_sim(
+                    spk_embed_fn(est[None, : len(ref)]),
+                    spk_embed_fn(ref[None]),
+                )
+            per_utt.append(utt)
 
     summary: Dict[str, float] = {"num_utts": float(len(per_utt))}
     if per_utt:
@@ -100,7 +110,8 @@ def evaluate(unise, cfg: EvalConfig, rng=None) -> Dict[str, float]:
 
 
 def roundtrip_codec_eval(tokenizer, wav_paths, sample_rate=16000,
-                         limit: Optional[int] = None) -> Dict[str, float]:
+                         limit: Optional[int] = None,
+                         spk_embed_fn=None) -> Dict[str, float]:
     """Codec reconstruction benchmark (the H-Codec table 2 protocol:
     tokenize -> detokenize, score vs the original)."""
     import jax.numpy as jnp
@@ -113,12 +124,16 @@ def roundtrip_codec_eval(tokenizer, wav_paths, sample_rate=16000,
         rec = np.asarray(tokenizer.detokenize(g, s))[0]
         ref = wav[0][: len(rec)]
         raw_pesq = M.pesq(rec[: len(ref)], ref, fs)
-        stats.append({
+        utt = {
             "stoi": M.stoi(rec[: len(ref)], ref, fs),
             "pesq": raw_pesq,
             "pesq_mos_lqo": M.pesq_mos_lqo(raw_pesq),
             "utmos_proxy": M.utmos_proxy(rec, fs),
             "si_snr": M.si_snr(rec[: len(ref)], ref),
             "mcd": M.mcd(rec[: len(ref)], ref, fs),
-        })
+        }
+        if spk_embed_fn is not None:
+            utt["spk_sim"] = M.spk_sim(
+                spk_embed_fn(rec[None, : len(ref)]), spk_embed_fn(ref[None]))
+        stats.append(utt)
     return {k: float(np.mean([s[k] for s in stats])) for k in stats[0]}
