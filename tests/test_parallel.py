@@ -197,6 +197,116 @@ class TestExpertParallel:
                 np.asarray(a), np.asarray(b), atol=3e-5, err_msg=str(pa))
 
 
+class TestPipelineParallel:
+    """GPipe over the stacked layer axis (parallel/pipeline.py): the
+    pipelined forward and its gradients must equal the dense layer scan."""
+
+    def _backbone(self, rng, num_layers=4):
+        from unified_audio_tpu.models.lm.llama import (LlamaBackbone,
+                                                       LlamaConfig)
+
+        cfg = LlamaConfig(global_size=16, semantic_size=32, hidden_size=32,
+                          num_layers=num_layers, num_heads=4)
+        backbone = LlamaBackbone(cfg)
+        embeds = jnp.asarray(
+            rng.standard_normal((8, 12, 32)).astype(np.float32))
+        params = backbone.init(jax.random.PRNGKey(3), embeds)
+        return cfg, backbone, params, embeds
+
+    def test_pipeline_matches_dense(self, rng):
+        from unified_audio_tpu.nn.transformer import RMSNorm
+        from unified_audio_tpu.parallel.pipeline import llama_pipeline_forward
+
+        cfg, backbone, params, embeds = self._backbone(rng)
+        y_ref = backbone.apply(params, embeds)
+
+        mesh = mesh_lib.make_mesh_axes(dp=2, pp=4)
+        y_pipe = llama_pipeline_forward(
+            cfg, params["params"]["layers"], embeds, mesh, n_microbatches=4)
+        y_pipe = RMSNorm(cfg.hidden_size).apply(
+            {"params": params["params"]["norm"]}, y_pipe)
+        np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_pipe),
+                                   atol=2e-5)
+
+    def test_pipeline_grads_match_dense(self, rng):
+        from unified_audio_tpu.parallel.pipeline import llama_pipeline_forward
+
+        cfg, backbone, params, embeds = self._backbone(rng, num_layers=8)
+        layer_params = params["params"]["layers"]
+        mesh = mesh_lib.make_mesh_axes(pp=8)
+
+        def loss_dense(lp):
+            p = {"params": {"layers": lp, "norm": params["params"]["norm"]}}
+            return jnp.mean(jnp.square(backbone.apply(p, embeds)))
+
+        def loss_pipe(lp):
+            y = llama_pipeline_forward(cfg, lp, embeds, mesh,
+                                       n_microbatches=4, axis="pp")
+            from unified_audio_tpu.nn.transformer import RMSNorm
+
+            y = RMSNorm(cfg.hidden_size).apply(
+                {"params": params["params"]["norm"]}, y)
+            return jnp.mean(jnp.square(y))
+
+        g_ref = jax.grad(loss_dense)(layer_params)
+        g_pipe = jax.jit(jax.grad(loss_pipe))(layer_params)
+        flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+        flat_pipe = jax.tree_util.tree_leaves_with_path(g_pipe)
+        for (pa, a), (pb, b) in zip(flat_ref, flat_pipe):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-5, err_msg=str(pa))
+
+    def test_bad_microbatch_raises(self, rng):
+        from unified_audio_tpu.parallel.pipeline import llama_pipeline_forward
+
+        cfg, _, params, embeds = self._backbone(rng)
+        mesh = mesh_lib.make_mesh_axes(dp=2, pp=4)
+        with pytest.raises(ValueError):
+            llama_pipeline_forward(cfg, params["params"]["layers"], embeds,
+                                   mesh, n_microbatches=3)
+
+
+class TestSequenceParallel:
+    """All-gather-KV sequence parallelism (parallel/sequence.py): the
+    time-sharded forward must equal the dense layer scan on the same
+    stacked params."""
+
+    def test_sp_forward_matches_dense(self, rng):
+        from unified_audio_tpu.models.lm.llama import (LlamaBackbone,
+                                                       LlamaConfig)
+        from unified_audio_tpu.nn.transformer import RMSNorm
+        from unified_audio_tpu.parallel.sequence import (
+            llama_sequence_parallel_forward)
+
+        cfg = LlamaConfig(global_size=16, semantic_size=32, hidden_size=32,
+                          num_layers=3, num_heads=4)
+        backbone = LlamaBackbone(cfg)
+        embeds = jnp.asarray(
+            rng.standard_normal((2, 24, 32)).astype(np.float32))
+        params = backbone.init(jax.random.PRNGKey(5), embeds)
+        y_ref = backbone.apply(params, embeds)
+
+        mesh = mesh_lib.make_mesh_axes(dp=2, sp=4)
+        y_sp = llama_sequence_parallel_forward(
+            cfg, params["params"]["layers"], embeds, mesh)
+        y_sp = RMSNorm(cfg.hidden_size).apply(
+            {"params": params["params"]["norm"]}, y_sp)
+        np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_sp),
+                                   atol=2e-5)
+
+    def test_sp_rejects_ragged_sequence(self, rng):
+        from unified_audio_tpu.models.lm.llama import LlamaConfig
+        from unified_audio_tpu.parallel.sequence import (
+            llama_sequence_parallel_forward)
+
+        cfg = LlamaConfig(global_size=16, semantic_size=32, hidden_size=32,
+                          num_layers=2, num_heads=4)
+        mesh = mesh_lib.make_mesh_axes(sp=8)
+        with pytest.raises(ValueError):
+            llama_sequence_parallel_forward(
+                cfg, {}, jnp.zeros((1, 30, 32)), mesh)
+
+
 class TestShardedServing:
     """Tensor-parallel paged decode: the serving hot path under a tp mesh
     (LM kernels sharded by LM_RULES, KV pool sharded over heads) must equal

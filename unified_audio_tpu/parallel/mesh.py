@@ -29,6 +29,17 @@ def make_mesh(dp: Optional[int] = None, tp: int = 1, devices=None) -> Mesh:
     return Mesh(arr, axis_names=("dp", "tp"))
 
 
+def make_mesh_axes(devices=None, **axes) -> Mesh:
+    """Mesh with arbitrary named axes, e.g. ``make_mesh_axes(dp=2, pp=4)`` or
+    ``make_mesh_axes(dp=2, tp=2, sp=2)``. Axis order = kwarg order (earlier
+    axes get the slower-varying device dimension)."""
+    devices = devices if devices is not None else jax.devices()
+    n = int(np.prod(list(axes.values())))
+    assert n == len(devices), (axes, len(devices))
+    arr = np.asarray(devices).reshape(tuple(axes.values()))
+    return Mesh(arr, axis_names=tuple(axes.keys()))
+
+
 # Parameter-path regex -> PartitionSpec for the LM. Everything unmatched is
 # replicated. Kernel layout is (in, out) for Dense.
 LM_RULES: Sequence = (
