@@ -286,6 +286,10 @@ class ContinuousBatchingEngine:
 
         self._prefill_insert = _prefill_insert
         self._step_n = _step_n
+        # uid -> (mix_dev (mix_b, D), enroll_dev or None): features already
+        # padded to their bucket and resident on device (see prestage())
+        self._staged: Dict[int, tuple] = {}
+        self._zero_rows: Dict[tuple, jax.Array] = {}
 
     # --- host-side API ---
 
@@ -332,6 +336,37 @@ class ContinuousBatchingEngine:
                  if req.enroll_feats is not None else None)
         return mix_b, enr_b
 
+    def _zero_row(self, shape):
+        z = self._zero_rows.get(shape)
+        if z is None:
+            z = self._zero_rows[shape] = jnp.zeros(shape, self.kv_dtype)
+        return z
+
+    def _stage_one(self, req: Request):
+        """Bucket-pad one request's features and start their host->device
+        transfer (async under jax dispatch)."""
+        feats_dim = self.sft.feats_dim
+        mix_b, enr_b = self._signature(req)
+        mix = np.zeros((mix_b, feats_dim), np.float32)
+        mix[: req.mix_feats.shape[0]] = req.mix_feats
+        mix_dev = jnp.asarray(mix, dtype=self.kv_dtype)
+        enr_dev = None
+        if enr_b is not None:
+            enr = np.zeros((enr_b, feats_dim), np.float32)
+            enr[: req.enroll_feats.shape[0]] = req.enroll_feats
+            enr_dev = jnp.asarray(enr, dtype=self.kv_dtype)
+        return mix_dev, enr_dev
+
+    def prestage(self, reqs: List[Request]) -> None:
+        """Overlap admissions with decode: start the feature transfers for
+        the next wave NOW, while previously dispatched decode chunks are
+        still executing on device. ``admit_many`` picks the staged arrays
+        up and assembles the wave with a device-side stack — by then the
+        bytes are already across the tunnel."""
+        for r in reqs[: self.num_slots]:
+            if r.uid not in self._staged:
+                self._staged[r.uid] = self._stage_one(r)
+
     def admit_many(self, reqs: List[Request], rng) -> List[int]:
         """Admit as many requests as slots + pool blocks allow; returns the
         uids admitted. Requests violating static caps raise ValueError."""
@@ -372,9 +407,11 @@ class ContinuousBatchingEngine:
             # prefill compute but mid-run recompiles cost 6-8 s each on
             # remote-compiled backends (CLAUDE.md #3).
             b_pad = self.num_slots
-            mix = np.zeros((b_pad, mix_b, feats_dim), np.float32)
-            enroll = np.zeros((b_pad, enr_b if enr_b is not None else 1,
-                               feats_dim), np.float32)
+            zero_mix = self._zero_row((mix_b, feats_dim))
+            zero_enr = self._zero_row(
+                (enr_b if enr_b is not None else 1, feats_dim))
+            mix_rows: List = []
+            enr_rows: List = []
             slot_ids = np.full((b_pad,), self.num_slots, np.int32)  # dropped
             tables = np.full((b_pad, self.max_blocks), TRASH_BLOCK, np.int32)
             task_ids = np.zeros((b_pad,), np.int32)
@@ -399,9 +436,11 @@ class ContinuousBatchingEngine:
                 slot_ids[i] = slot
                 tables[i, : n_blk] = blocks
                 task_ids[i] = r.task_id
-                mix[i, : r.mix_feats.shape[0]] = r.mix_feats
-                if enr_b is not None:
-                    enroll[i, : r.enroll_feats.shape[0]] = r.enroll_feats
+                mix_dev, enr_dev = self._staged.pop(r.uid, (None, None))
+                if mix_dev is None:
+                    mix_dev, enr_dev = self._stage_one(r)
+                mix_rows.append(mix_dev)
+                enr_rows.append(enr_dev if enr_dev is not None else zero_enr)
                 n_head[i] = 2 + (r.enroll_feats.shape[0]
                                  if enr_b is not None else 0)
                 true_totals[i] = true_total
@@ -416,16 +455,20 @@ class ContinuousBatchingEngine:
                 top_ps[i] = r.top_p
                 admitted.append(r.uid)
 
+            mix_rows += [zero_mix] * (b_pad - len(mix_rows))
+            enr_rows += [zero_enr] * (b_pad - len(enr_rows))
             self.pool, self.state = self._prefill_insert(
                 self.params, self.pool, self.state,
                 with_enroll=enr_b is not None,
                 slot_ids=jnp.asarray(slot_ids),
                 tables=jnp.asarray(tables),
                 task_ids=jnp.asarray(task_ids),
-                # cast to the engine compute dtype BEFORE the host->device
-                # transfer: halves the bytes over the tunnel for bf16 engines
-                mix_feats=jnp.asarray(mix, dtype=self.kv_dtype),
-                enroll_feats=jnp.asarray(enroll, dtype=self.kv_dtype),
+                # rows were bucket-padded, cast to the engine compute dtype
+                # (half the tunnel bytes for bf16) and transferred when they
+                # were STAGED — possibly while earlier decode chunks were
+                # still running; this stack is a device-side op
+                mix_feats=jnp.stack(mix_rows),
+                enroll_feats=jnp.stack(enr_rows),
                 n_head=jnp.asarray(n_head),
                 true_total=jnp.asarray(true_totals),
                 glens=jnp.asarray(glens), slens=jnp.asarray(slens),
@@ -500,6 +543,10 @@ class ContinuousBatchingEngine:
             # chunked dispatches (no syncs in between) up to the completion
             for _ in range(-(-next_done // poll_interval)):
                 self.step(n=poll_interval)
+            # overlap: transfer the next wave's features while those decode
+            # chunks execute on device
+            if pending:
+                self.prestage(pending)
             for r in self.harvest():
                 results[r.uid] = r
             i += next_done
