@@ -102,6 +102,25 @@ class TestUTMOSProxy:
             rng.standard_normal(16000).astype(np.float32)) <= 5.0
 
 
+class TestWER:
+    def test_exact_match(self):
+        assert metrics.wer("the cat sat", "the cat sat") == 0.0
+
+    def test_substitution_deletion_insertion(self):
+        assert metrics.wer("the dog sat", "the cat sat") == pytest.approx(1 / 3)
+        assert metrics.wer("the sat", "the cat sat") == pytest.approx(1 / 3)
+        assert metrics.wer("the big cat sat", "the cat sat") == pytest.approx(1 / 3)
+
+    def test_empty_reference(self):
+        assert metrics.wer("", "") == 0.0
+        assert metrics.wer("a b", "") == 2.0
+
+    def test_known_alignment(self):
+        # classic: all words wrong -> 1.0; extra hyp words can exceed 1.0
+        assert metrics.wer("x y z", "a b c") == 1.0
+        assert metrics.wer("a b c d e f", "a b c") == 1.0
+
+
 class TestSpkSim:
     def test_cosine_properties(self, rng):
         a = rng.standard_normal(192)

@@ -350,6 +350,27 @@ def utmos_proxy(x: np.ndarray, fs: int = 16000) -> float:
     return float(np.clip(score, 1.0, 5.0))
 
 
+def wer(hyp: str, ref: str) -> float:
+    """Word error rate = (S + D + I) / N via Levenshtein alignment over
+    whitespace tokens (the WER column of the H-Codec results table;
+    the reference pins ``jiwer`` for this, requirements.txt). Transcripts
+    come from any ASR the deployment has — none ships in this image, so
+    this scores (hypothesis, reference) text pairs."""
+    h = hyp.split()
+    r = ref.split()
+    if not r:
+        return 0.0 if not h else float(len(h))
+    prev = list(range(len(h) + 1))
+    for i, rw in enumerate(r, 1):
+        cur = [i] + [0] * len(h)
+        for j, hw in enumerate(h, 1):
+            cur[j] = min(prev[j] + 1,          # deletion
+                         cur[j - 1] + 1,       # insertion
+                         prev[j - 1] + (rw != hw))  # substitution
+        prev = cur
+    return prev[-1] / len(r)
+
+
 def spk_sim(emb_est: np.ndarray, emb_ref: np.ndarray) -> float:
     """Speaker similarity = cosine of two speaker embeddings (the SPK-SIM
     column of the H-Codec results table, BASELINE.md / SURVEY §6).
