@@ -1,0 +1,124 @@
+"""Micro-benchmark: where does the paged decode step's time go?
+
+Times a jitted lax.scan of N paged_decode_ids steps (the exact serving hot
+loop body) while sweeping the knobs that bound it from different directions:
+
+* pool size (number of physical blocks)  -> KV-read bandwidth share
+* layer count                            -> per-layer fixed cost share
+* slot count                             -> batch-scaling behavior
+
+Timing forces a device->host fetch (np.asarray) as the completion barrier —
+block_until_ready returns early on tunnel-attached chips (CLAUDE.md #2).
+"""
+import json
+import time
+
+import numpy as np
+
+
+def time_steps(cfg, lm_params, pool, tables, index, active, ids, bs,
+               repeats=3):
+    """Per-step DEVICE time: every dispatch to a tunnel-attached chip pays a
+    fixed ~25 ms round trip that a single-N timing silently folds into the
+    per-step number, so this times two scan lengths and returns the slope
+    (wall_n2 - wall_n1) / (n2 - n1)."""
+    import jax
+    import jax.numpy as jnp
+
+    from unified_audio_tpu.serve.paged import paged_decode_ids
+
+    def make(n_steps):
+        @jax.jit
+        def run(lm_params, pool, ids):
+            def body(carry, _):
+                pool, ids = carry
+                logits, pool = paged_decode_ids(
+                    cfg, lm_params, pool, tables, index, active, ids, bs)
+                return (pool, jnp.argmax(logits, -1).astype(jnp.int32)), None
+
+            (pool, ids), _ = jax.lax.scan(body, (pool, ids), None,
+                                          length=n_steps)
+            return ids
+
+        return run
+
+    n1, n2 = 16, 144
+    walls = {}
+    for n, run in ((n1, make(n1)), (n2, make(n2))):
+        np.asarray(run(lm_params, pool, ids))  # compile + warm
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            np.asarray(run(lm_params, pool, ids))
+            best = min(best, time.perf_counter() - t0)
+        walls[n] = best
+    dispatch = walls[n1] - n1 * (walls[n2] - walls[n1]) / (n2 - n1)
+    return (walls[n2] - walls[n1]) / (n2 - n1), dispatch
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from unified_audio_tpu.models.lm.llama import LlamaConfig
+    from unified_audio_tpu.models.lm.sft import LLMSFT
+    from unified_audio_tpu.serve.paged import init_pool
+    from unified_audio_tpu.utils.initialization import init_on_cpu
+
+    rng = np.random.default_rng(0)
+    results = []
+    for (slots, num_layers, max_blocks, tag) in [
+        (8, 12, 13, "serving shape (engine default)"),
+        (8, 12, 7, "half pool"),
+        (8, 6, 13, "half layers"),
+        (16, 12, 13, "16 slots"),
+        (32, 12, 13, "32 slots"),
+    ]:
+        cfg = LlamaConfig(num_layers=num_layers)
+        sft = LLMSFT(cfg, num_tasks=3, feats_dim=768)
+        params = init_on_cpu(lambda: sft.init(
+            jax.random.PRNGKey(0), 0, None,
+            np.zeros((1, 8, 768), np.float32),
+            np.zeros((1, 4), np.int32), np.zeros((1, 8), np.int32),
+        ))
+        lm = jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.bfloat16)
+            if jnp.issubdtype(p.dtype, jnp.floating) else p,
+            params["params"]["lm"])
+
+        bs = 64
+        nb = 1 + slots * max_blocks
+        pool = init_pool(cfg, nb, bs, dtype=jnp.bfloat16)
+        tables = jnp.asarray(
+            1 + np.arange(slots * max_blocks).reshape(slots, max_blocks),
+            jnp.int32)
+        index = jnp.full((slots,), 520, jnp.int32)
+        active = jnp.ones((slots,), bool)
+        ids = jnp.asarray(rng.integers(3, 100, (slots,)), jnp.int32)
+
+        dt, dispatch = time_steps(cfg, lm, pool, tables, index, active, ids,
+                                  bs)
+        kv_mb = 2 * nb * bs * cfg.num_heads * cfg.head_dim * 2 * num_layers / 1e6
+        w_mb = sum(np.prod(p.shape) for p in
+                   jax.tree_util.tree_leaves(lm)) * 2 / 1e6
+        rec = {
+            "tag": tag, "slots": slots, "layers": num_layers,
+            "pool_blocks": nb, "ms_per_step_device": round(dt * 1e3, 3),
+            "dispatch_overhead_ms": round(dispatch * 1e3, 1),
+            "tok_per_sec_ceiling": round(slots / dt, 1),
+            "hbm_mb_per_step": round(kv_mb + w_mb, 1),
+            "implied_gbps": round((kv_mb + w_mb) / 1e3 / dt, 1),
+        }
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -517,16 +517,21 @@ class ContinuousBatchingEngine:
         return out
 
     def run(self, requests: List[Request], rng,
-            poll_interval: int = 64) -> Dict[int, Result]:
+            poll_interval: int = 256) -> Dict[int, Result]:
         """Drive the pool until all requests complete.
 
         Deterministic scheduling: decode lengths are fixed (no EOS
-        early-exit), so the engine steps straight to the next completion
-        point in ``poll_interval``-sized dispatches of ONE compiled program
-        and pays a device->host sync only there — on remote-attached chips
-        every sync is a full tunnel round trip (measured ~70 ms)."""
+        early-exit), so the engine steps EXACTLY to the next completion
+        point, decomposed into power-of-two dispatches capped at
+        ``poll_interval`` (283 remaining -> 256+16+8+2+1). No overshoot
+        steps, at most log2(poll_interval)+1 distinct compiled step
+        programs, and the device->host sync happens only at completion
+        points — every sync on a remote-attached chip is a ~25 ms round
+        trip."""
         pending = list(requests)
         results: Dict[int, Result] = {}
+        # power-of-two cap keeps the set of compiled step programs bounded
+        poll_interval = 1 << (max(int(poll_interval), 1).bit_length() - 1)
         i = 0
         while pending or any(u is not None for u in self._uids):
             if pending and self.free_slots():
@@ -540,13 +545,17 @@ class ContinuousBatchingEngine:
             active = [self._remaining[s] for s in range(self.num_slots)
                       if self._uids[s] is not None and self._remaining[s] > 0]
             next_done = min(active) if active else 1
-            # chunked dispatches (no syncs in between) up to the completion
-            for _ in range(-(-next_done // poll_interval)):
-                self.step(n=poll_interval)
-            # overlap: transfer the next wave's features while those decode
-            # chunks execute on device
-            if pending:
-                self.prestage(pending)
+            remaining = next_done
+            staged = not pending
+            while remaining:
+                c = min(poll_interval, 1 << (remaining.bit_length() - 1))
+                self.step(n=c)
+                remaining -= c
+                if not staged:
+                    # overlap: transfer the next wave's features while the
+                    # first decode chunk executes on device
+                    self.prestage(pending)
+                    staged = True
             for r in self.harvest():
                 results[r.uid] = r
             i += next_done
