@@ -186,6 +186,18 @@ class ContinuousBatchingEngine:
 
             st = dict(state)
 
+            # STASH the displaced slots' finished outputs before the insert
+            # overwrites them: the host fetches this AFTER dispatching the
+            # next decode chunks, so the ~25 ms fetch round trip overlaps
+            # with decode instead of stalling the pool between waves
+            rows = jnp.minimum(slot_ids, self.num_slots - 1)
+            stash = {
+                "g": st["out_global"][rows],
+                "s": st["out_semantic"][rows],
+                "glen": st["global_len"][rows],
+                "slen": st["semantic_len"][rows],
+            }
+
             def upd(name, vals):
                 st[name] = st[name].at[slot_ids].set(vals, mode="drop")
 
@@ -203,7 +215,7 @@ class ContinuousBatchingEngine:
             upd("top_p", top_ps)
             upd("out_global", jnp.zeros((b_wave, max_global), jnp.int32))
             upd("out_semantic", jnp.zeros((b_wave, max_semantic), jnp.int32))
-            return pool, st
+            return pool, st, stash
 
         def _step_body(lm_params, pool, state):
             phase = state["phase"]
@@ -290,6 +302,11 @@ class ContinuousBatchingEngine:
         # padded to their bucket and resident on device (see prestage())
         self._staged: Dict[int, tuple] = {}
         self._zero_rows: Dict[tuple, jax.Array] = {}
+        # pipelined harvest (run() fast path): slots whose request finished
+        # (host-tracked, deterministic) but whose outputs have not been
+        # fetched; stashes captured in-graph by displacing inserts
+        self._done_slots: set = set()
+        self._pending_stashes: List[tuple] = []
 
     # --- host-side API ---
 
@@ -367,12 +384,45 @@ class ContinuousBatchingEngine:
             if r.uid not in self._staged:
                 self._staged[r.uid] = self._stage_one(r)
 
-    def admit_many(self, reqs: List[Request], rng) -> List[int]:
+    def _reap_host(self) -> None:
+        """Deterministic completion bookkeeping (no device sync): decode
+        lengths are fixed, so a slot whose host-tracked remaining count hit
+        zero IS finished — release its blocks now (the finished outputs live
+        in the state arrays, not the pool; the inactive slot scatters to the
+        trash block) and mark it displaceable."""
+        for s in range(self.num_slots):
+            if (self._uids[s] is not None and self._remaining[s] == 0
+                    and s not in self._done_slots):
+                self._done_slots.add(s)
+                self.allocator.release(self._slot_blocks[s])
+                self._slot_blocks[s] = []
+
+    def admit_many(self, reqs: List[Request], rng,
+                   displace: bool = False) -> List[int]:
         """Admit as many requests as slots + pool blocks allow; returns the
-        uids admitted. Requests violating static caps raise ValueError."""
+        uids admitted. Requests violating static caps raise ValueError.
+
+        With ``displace=True`` (the run() fast path), slots whose request
+        finished — tracked host-side, no device sync — are reused directly;
+        the insert program stashes their outputs in-graph for a later
+        overlapped fetch (see _prefill_insert).
+
+        ``rng`` may be a jax PRNG key or a ``np.random.Generator``. Per-slot
+        decode keys are derived HOST-side: deriving them with
+        ``jax.random.split`` + ``key_data`` costs a ~28 ms device round trip
+        PER REQUEST on tunnel-attached chips (measured), which dominated
+        wave admission."""
         for r in reqs:
             self.validate(r)
-        slots = self.free_slots()
+        if not isinstance(rng, np.random.Generator):
+            rng = np.random.default_rng(
+                np.asarray(jax.random.key_data(rng), np.uint32))
+        if displace:
+            self._reap_host()
+            slots = [i for i in range(self.num_slots)
+                     if self._uids[i] is None or i in self._done_slots]
+        else:
+            slots = self.free_slots()
         if not slots or not reqs:
             return []
         take = reqs[: len(slots)]
@@ -425,10 +475,18 @@ class ContinuousBatchingEngine:
             top_ks = np.ones((b_pad,), np.int32)
             top_ps = np.ones((b_pad,), np.float32)
 
-            free = self.free_slots()
+            if displace:
+                free = [i for i in range(self.num_slots)
+                        if self._uids[i] is None or i in self._done_slots]
+            else:
+                free = self.free_slots()
+            replaced: List[Optional[int]] = [None] * b_pad
             for i, (r, n_blk, true_total) in enumerate(fitting):
                 slot = free[0]
                 free = free[1:]
+                if slot in self._done_slots:
+                    replaced[i] = self._uids[slot]
+                    self._done_slots.discard(slot)
                 blocks = self.allocator.alloc(n_blk)
                 self._slot_blocks[slot] = blocks
                 self._uids[slot] = r.uid
@@ -446,9 +504,7 @@ class ContinuousBatchingEngine:
                 true_totals[i] = true_total
                 glens[i] = r.global_length
                 slens[i] = r.semantic_length
-                rng, sub = jax.random.split(rng)
-                rngs[i] = np.asarray(jax.random.key_data(sub)).astype(
-                    np.uint32)
+                rngs[i] = rng.integers(0, 2**32, size=2, dtype=np.uint32)
                 do_samples[i] = r.do_sample
                 temps[i] = r.temperature
                 top_ks[i] = r.top_k
@@ -457,7 +513,7 @@ class ContinuousBatchingEngine:
 
             mix_rows += [zero_mix] * (b_pad - len(mix_rows))
             enr_rows += [zero_enr] * (b_pad - len(enr_rows))
-            self.pool, self.state = self._prefill_insert(
+            self.pool, self.state, stash = self._prefill_insert(
                 self.params, self.pool, self.state,
                 with_enroll=enr_b is not None,
                 slot_ids=jnp.asarray(slot_ids),
@@ -477,8 +533,26 @@ class ContinuousBatchingEngine:
                 temps=jnp.asarray(temps),
                 top_ks=jnp.asarray(top_ks), top_ps=jnp.asarray(top_ps),
             )
+            if any(u is not None for u in replaced):
+                self._pending_stashes.append((replaced, stash))
             self._phase_cache = None
         return admitted
+
+    def drain_stashes(self) -> List[Result]:
+        """Fetch the outputs stashed by displacing inserts. Call AFTER
+        dispatching the next decode chunks so the fetch round trip overlaps
+        with decode executing on device."""
+        out: List[Result] = []
+        for replaced, stash in self._pending_stashes:
+            data = jax.device_get(stash)
+            for j, uid in enumerate(replaced):
+                if uid is None:
+                    continue
+                glen, slen = int(data["glen"][j]), int(data["slen"][j])
+                out.append(Result(uid, data["g"][j, :glen],
+                                  data["s"][j, :slen]))
+        self._pending_stashes = []
+        return out
 
     def admit(self, req: Request, rng) -> bool:
         return bool(self.admit_many([req], rng))
@@ -514,6 +588,7 @@ class ContinuousBatchingEngine:
             self._uids[i] = None
             self.allocator.release(self._slot_blocks[i])
             self._slot_blocks[i] = []
+            self._done_slots.discard(i)
         return out
 
     def run(self, requests: List[Request], rng,
@@ -530,23 +605,32 @@ class ContinuousBatchingEngine:
         trip."""
         pending = list(requests)
         results: Dict[int, Result] = {}
+        # ONE key-data fetch for the whole run; all per-request keys derive
+        # host-side (a per-wave jax.random.split costs a device round trip)
+        if not isinstance(rng, np.random.Generator):
+            rng = np.random.default_rng(
+                np.asarray(jax.random.key_data(rng), np.uint32))
         # power-of-two cap keeps the set of compiled step programs bounded
         poll_interval = 1 << (max(int(poll_interval), 1).bit_length() - 1)
         i = 0
-        while pending or any(u is not None for u in self._uids):
-            if pending and self.free_slots():
-                rng, sub = jax.random.split(rng)
-                admitted = set(self.admit_many(pending, sub))
-                if not admitted and not any(u is not None for u in self._uids):
-                    raise RuntimeError(
-                        "requests cannot be admitted (KV pool too small for "
-                        "any pending request)")
+        while True:
+            if pending:
+                # displacing admissions: finished slots are known host-side
+                # (deterministic lengths) — no device sync between waves.
+                # The insert stashes the displaced outputs in-graph.
+                admitted = set(self.admit_many(pending, rng, displace=True))
                 pending = [r for r in pending if r.uid not in admitted]
             active = [self._remaining[s] for s in range(self.num_slots)
                       if self._uids[s] is not None and self._remaining[s] > 0]
-            next_done = min(active) if active else 1
-            remaining = next_done
+            if not active:
+                if pending:
+                    raise RuntimeError(
+                        "requests cannot be admitted (KV pool too small for "
+                        "any pending request)")
+                break
+            remaining = min(active)
             staged = not pending
+            first = True
             while remaining:
                 c = min(poll_interval, 1 << (remaining.bit_length() - 1))
                 self.step(n=c)
@@ -556,9 +640,17 @@ class ContinuousBatchingEngine:
                     # first decode chunk executes on device
                     self.prestage(pending)
                     staged = True
-            for r in self.harvest():
-                results[r.uid] = r
-            i += next_done
+                if first:
+                    # overlap: fetch the previous wave's stashed outputs
+                    # while these decode chunks execute on device
+                    for r in self.drain_stashes():
+                        results[r.uid] = r
+                    first = False
+            i += min(active)
             if i > 400000:
                 raise RuntimeError("engine did not converge")
+        for r in self.drain_stashes():
+            results[r.uid] = r
+        for r in self.harvest():
+            results[r.uid] = r
         return results
