@@ -11,7 +11,7 @@ import numpy as np
 
 
 def main(num_slots: int = 8, num_requests: int = 24, dtype: str = "bfloat16",
-         poll_interval: int = 16):
+         poll_interval: int = 256):
     import jax
     import jax.numpy as jnp
 

@@ -196,3 +196,38 @@ class TestConformer:
         y = m.apply(m.init(key, x), x)
         assert y.shape == x.shape
         assert np.isfinite(np.asarray(y)).all()
+
+    def test_joint_attention(self, key, rng):
+        """MM-DiT joint attention (conformer.py:192-302): both streams
+        out, padded sample positions zeroed, context never masked."""
+        from unified_audio_tpu.models.lm.conformer import JointAttention
+        from unified_audio_tpu.nn.transformer import rope_cos_sin
+
+        m = JointAttention(dim=32, heads=4, dim_head=8)
+        x = jnp.asarray(rng.standard_normal((2, 6, 32)).astype(np.float32))
+        c = jnp.asarray(rng.standard_normal((2, 4, 32)).astype(np.float32))
+        rope = rope_cos_sin(jnp.arange(6), 8)
+        c_rope = rope_cos_sin(jnp.arange(4), 8)
+        mask = jnp.asarray([[1, 1, 1, 1, 0, 0], [1] * 6], bool)
+        params = m.init(key, x, c, mask, rope, c_rope)
+        xo, co = m.apply(params, x, c, mask, rope, c_rope)
+        assert xo.shape == x.shape and co.shape == c.shape
+        # masked sample rows are zeroed
+        np.testing.assert_array_equal(np.asarray(xo[0, 4:]), 0.0)
+        assert np.abs(np.asarray(xo[1])).min() > 0
+        # masked positions do not influence other rows: perturb a padded row
+        x2 = x.at[0, 5].set(7.0)
+        xo2, co2 = m.apply(params, x2, c, mask, rope, c_rope)
+        np.testing.assert_allclose(np.asarray(xo[0, :4]),
+                                   np.asarray(xo2[0, :4]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(co), np.asarray(co2),
+                                   atol=1e-6)
+
+    def test_joint_attention_context_pre_only(self, key, rng):
+        from unified_audio_tpu.models.lm.conformer import JointAttention
+
+        m = JointAttention(dim=16, heads=2, dim_head=8, context_pre_only=True)
+        x = jnp.zeros((1, 3, 16))
+        c = jnp.zeros((1, 2, 16))
+        xo, co = m.apply(m.init(key, x, c), x, c)
+        assert co is None and xo.shape == x.shape

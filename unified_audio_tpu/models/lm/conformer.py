@@ -70,6 +70,68 @@ class ConformerAttention(nn.Module):
         )
 
 
+class JointAttention(nn.Module):
+    """MM-DiT style joint attention (the reference's JointAttnProcessor,
+    conformer.py:192-302 — instantiated nowhere in the shipped configs but
+    part of the module surface): the sample stream ``x`` and a context
+    stream ``c`` get separate q/k/v projections, attend JOINTLY over the
+    concatenated sequence, then split back to per-stream output projections.
+    RoPE applies to each stream's positions independently; ``mask`` (B, N)
+    masks padded sample positions (context is never masked).
+
+    Returns ``(x_out, c_out)``; ``c_out`` is None when ``context_pre_only``
+    (the reference skips to_out_c in that case).
+    """
+
+    dim: int
+    heads: int = 8
+    dim_head: int = 64
+    context_pre_only: bool = False
+
+    @nn.compact
+    def __call__(self, x, c, mask=None, rope=None, c_rope=None):
+        b, n, _ = x.shape
+        nt = c.shape[1]
+        h, hd = self.heads, self.dim_head
+        inner = h * hd
+
+        def proj(y, t, name):
+            return nn.Dense(inner, use_bias=False, name=name)(y).reshape(
+                b, t, h, hd)
+
+        q = proj(x, n, "to_q")
+        k = proj(x, n, "to_k")
+        v = proj(x, n, "to_v")
+        cq = proj(c, nt, "to_q_c")
+        ck = proj(c, nt, "to_k_c")
+        cv = proj(c, nt, "to_v_c")
+
+        if rope is not None:
+            q, k = apply_rope(q, k, *rope)
+        if c_rope is not None:
+            cq, ck = apply_rope(cq, ck, *c_rope)
+
+        q = jnp.concatenate([q, cq], axis=1)
+        k = jnp.concatenate([k, ck], axis=1)
+        v = jnp.concatenate([v, cv], axis=1)
+
+        attn_mask = None
+        if mask is not None:
+            keep = jnp.concatenate(
+                [mask, jnp.ones((b, nt), bool)], axis=1)  # context unmasked
+            attn_mask = jnp.where(keep, 0.0, -1e9)[:, None, None, :]
+
+        out = attend(q, k, v, attn_mask, hd**-0.5).reshape(b, n + nt, inner)
+        x_out = nn.Dense(self.dim, use_bias=False, name="to_out")(out[:, :n])
+        if mask is not None:
+            x_out = jnp.where(mask[..., None], x_out, 0.0)
+        c_out = None
+        if not self.context_pre_only:
+            c_out = nn.Dense(self.dim, use_bias=False, name="to_out_c")(
+                out[:, n:])
+        return x_out, c_out
+
+
 class ConformerLayer(nn.Module):
     dim: int
     heads: int = 8
