@@ -54,6 +54,38 @@ class TestMesh:
         assert ospec == P(None, "tp", None)
 
 
+class TestDistributed:
+    def test_initialize_single_process_noop(self):
+        from unified_audio_tpu.parallel import distributed
+
+        distributed.initialize()  # must not raise or try to connect
+
+    def test_hybrid_mesh_single_slice(self):
+        from unified_audio_tpu.parallel.distributed import make_hybrid_mesh
+
+        mesh = make_hybrid_mesh(ici=dict(dp=2, tp=4))
+        assert mesh.shape == {"dp": 2, "tp": 4}
+        # trainer rules apply unchanged on the hybrid-built mesh
+        from unified_audio_tpu.parallel import mesh as mesh_lib
+
+        s = mesh_lib.batch_sharding(mesh)
+        assert "dp" in str(s.spec)
+
+    def test_hybrid_mesh_dcn_axis_merges(self):
+        from unified_audio_tpu.parallel.distributed import make_hybrid_mesh
+
+        # dcn dp=2 x ici dp=1: single host has no multi-slice topology, but
+        # the axis algebra must still produce dp_total=2 over 8 devices
+        mesh = make_hybrid_mesh(ici=dict(dp=1, tp=4), dcn=dict(dp=2))
+        assert mesh.shape == {"dp": 2, "tp": 4}
+
+    def test_hybrid_mesh_wrong_size_raises(self):
+        from unified_audio_tpu.parallel.distributed import make_hybrid_mesh
+
+        with pytest.raises(ValueError):
+            make_hybrid_mesh(ici=dict(dp=3, tp=4))
+
+
 class TestSchedule:
     def test_warmup_then_decay(self):
         sch = warmup_exp_decay_schedule(peak_lr=1.0, warmup_steps=100,
