@@ -289,6 +289,24 @@ class TestCustomLlamaConverter:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-6, err_msg=str(pa))
 
+    def test_async_checkpoint_save(self, tmp_path):
+        """block=False overlaps the write with training; wait() joins it and
+        the checkpoint restores identically."""
+        from unified_audio_tpu.train.checkpoint import CheckpointManager
+
+        cfg, sft, params = self._tiny()
+        mgr = CheckpointManager(tmp_path / "orbax_async")
+        mgr.save(3, params, block=False)
+        mgr.wait()
+        assert mgr.latest_step() == 3
+        loaded = mgr.restore(3, template={"params": params})
+        np.testing.assert_allclose(
+            np.asarray(loaded["params"]["params"]["lm"]["codec_embedding"]
+                       ["embedding"]),
+            np.asarray(params["params"]["lm"]["codec_embedding"]["embedding"]),
+            atol=1e-6,
+        )
+
     def test_cli_checkpoint_loader_orbax_and_torch(self, tmp_path):
         import torch
 

@@ -23,13 +23,22 @@ class CheckpointManager:
             options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep),
         )
 
-    def save(self, step: int, params, opt_state=None, extra: Optional[Dict] = None):
+    def save(self, step: int, params, opt_state=None,
+             extra: Optional[Dict] = None, block: bool = True):
+        """Save a checkpoint. With ``block=False`` the write runs on orbax's
+        background thread and overlaps the next training steps (device
+        arrays are snapshotted at call time); call :meth:`wait` — or any
+        later ``save``/``restore`` — to join it."""
         state = {"params": params}
         if opt_state is not None:
             state["opt_state"] = opt_state
         if extra:
             state["extra"] = extra
         self.manager.save(step, args=ocp.args.StandardSave(state))
+        if block:
+            self.manager.wait_until_finished()
+
+    def wait(self):
         self.manager.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
