@@ -13,6 +13,10 @@ BENCHES = [
     ("unise_ar_decode", [sys.executable, "benchmarks/bench_unise.py"]),
     ("unise_se_latency", [sys.executable, "benchmarks/bench_se_latency.py"]),
     ("hcodec20_batched", [sys.executable, "benchmarks/bench_hcodec20.py"]),
+    ("engine_mixed_task", [sys.executable, "benchmarks/bench_engine.py",
+                           "8", "64"]),
+    ("paged_step_device", [sys.executable, "benchmarks/bench_paged_step.py"]),
+    ("sft_train_step", [sys.executable, "benchmarks/bench_train_step.py"]),
 ]
 
 

@@ -191,6 +191,26 @@ class TestEngine:
         assert sorted(results) == [0, 1, 2, 3]
         assert len(eng.allocator.free) == 7
 
+    def test_stats_counters(self, setup):
+        """Serving observability: counters agree with the request stream and
+        the pool is fully released after the run."""
+        cfg, sft, params, rng = setup
+        eng = make_engine(sft, params)
+        reqs = [Request(task_id=0,
+                        mix_feats=rng.standard_normal((10, 12)).astype(
+                            np.float32),
+                        global_length=2, semantic_length=4,
+                        do_sample=False, uid=i) for i in range(5)]
+        results = eng.run(reqs, jax.random.PRNGKey(0))
+        st = eng.stats()
+        assert st["requests_admitted"] == 5
+        assert st["requests_completed"] == 5
+        assert st["tokens_generated"] == 5 * (2 + 1 + 4)
+        assert st["decode_steps"] >= 3 * (2 + 1 + 4)  # >= 3 sequential waves
+        assert st["prefill_waves"] >= 3
+        assert st["blocks_held"] == 0 and st["active_slots"] == 0
+        assert len(results) == 5
+
     def test_admit_validation(self, setup):
         cfg, sft, params, rng = setup
         eng = make_engine(sft, params)

@@ -358,7 +358,7 @@ def cmd_serve(args):
         est = unise._decode_tokens(jnp.asarray(g), jnp.asarray(s), orig_len)
         write_wav(out_path, est, TARGET_SR)
     print(json.dumps({"requests": len(lines), "segments": len(reqs),
-                      "outputs": list(meta)}))
+                      "outputs": list(meta), "engine_stats": eng.stats()}))
 
 
 def cmd_eval(args):

@@ -307,6 +307,17 @@ class ContinuousBatchingEngine:
         # fetched; stashes captured in-graph by displacing inserts
         self._done_slots: set = set()
         self._pending_stashes: List[tuple] = []
+        # observability counters (SURVEY §5.5): serving metrics the
+        # reference has no analogue for
+        self._stats = {
+            "requests_admitted": 0,
+            "requests_completed": 0,
+            "tokens_generated": 0,
+            "decode_steps": 0,
+            "step_dispatches": 0,
+            "prefill_waves": 0,
+            "stash_fetches": 0,
+        }
 
     # --- host-side API ---
 
@@ -536,7 +547,21 @@ class ContinuousBatchingEngine:
             if any(u is not None for u in replaced):
                 self._pending_stashes.append((replaced, stash))
             self._phase_cache = None
+            self._stats["prefill_waves"] += 1
+        self._stats["requests_admitted"] += len(admitted)
         return admitted
+
+    def stats(self) -> Dict[str, float]:
+        """Serving counters (host-side, no device sync): admissions,
+        completions, tokens, dispatch counts, and current pool occupancy."""
+        held = sum(len(b) for b in self._slot_blocks)
+        out = dict(self._stats)
+        out["active_slots"] = sum(
+            1 for s in range(self.num_slots)
+            if self._uids[s] is not None and self._remaining[s] > 0)
+        out["blocks_held"] = held
+        out["pool_utilization"] = held / max(1, self.num_blocks - 1)
+        return out
 
     def drain_stashes(self) -> List[Result]:
         """Fetch the outputs stashed by displacing inserts. Call AFTER
@@ -545,6 +570,7 @@ class ContinuousBatchingEngine:
         out: List[Result] = []
         for replaced, stash in self._pending_stashes:
             data = jax.device_get(stash)
+            self._stats["stash_fetches"] += 1
             for j, uid in enumerate(replaced):
                 if uid is None:
                     continue
@@ -552,6 +578,9 @@ class ContinuousBatchingEngine:
                 out.append(Result(uid, data["g"][j, :glen],
                                   data["s"][j, :slen]))
         self._pending_stashes = []
+        self._stats["requests_completed"] += len(out)
+        self._stats["tokens_generated"] += sum(
+            len(r.global_ids) + 1 + len(r.semantic_ids) for r in out)
         return out
 
     def admit(self, req: Request, rng) -> bool:
@@ -562,6 +591,8 @@ class ContinuousBatchingEngine:
         self.pool, self.state = self._step_n(lm_params, self.pool,
                                              self.state, n=n)
         self._phase_cache = None
+        self._stats["decode_steps"] += n
+        self._stats["step_dispatches"] += 1
         for i in range(self.num_slots):
             if self._uids[i] is not None:
                 self._remaining[i] = max(0, self._remaining[i] - n)
@@ -589,6 +620,9 @@ class ContinuousBatchingEngine:
             self.allocator.release(self._slot_blocks[i])
             self._slot_blocks[i] = []
             self._done_slots.discard(i)
+        self._stats["requests_completed"] += len(out)
+        self._stats["tokens_generated"] += sum(
+            len(r.global_ids) + 1 + len(r.semantic_ids) for r in out)
         return out
 
     def run(self, requests: List[Request], rng,
