@@ -191,6 +191,40 @@ class TestEngine:
         assert sorted(results) == [0, 1, 2, 3]
         assert len(eng.allocator.free) == 7
 
+    def test_staggered_lengths_match_solo_runs(self, setup):
+        """Mixed decode lengths => completions interleave mid-wave; the
+        deterministic reap/displace scheduler must produce EXACTLY the
+        tokens each request gets when run alone (greedy)."""
+        cfg, sft, params, rng = setup
+        lengths = [(2, 3), (4, 9), (1, 6), (3, 12), (2, 5), (4, 4)]
+        feats = [rng.standard_normal((10, 12)).astype(np.float32)
+                 for _ in lengths]
+
+        def req(i):
+            g, s = lengths[i]
+            return Request(task_id=i % 3, mix_feats=feats[i],
+                           enroll_feats=feats[i] if i % 3 else None,
+                           global_length=g, semantic_length=s,
+                           do_sample=False, uid=100 + i)
+
+        solo = {}
+        for i in range(len(lengths)):
+            eng = make_engine(sft, params)
+            solo[100 + i] = eng.run([req(i)], jax.random.PRNGKey(0))[100 + i]
+
+        eng = make_engine(sft, params)
+        mixed = eng.run([req(i) for i in range(len(lengths))],
+                        jax.random.PRNGKey(1))
+        assert set(mixed) == set(solo)
+        for uid in solo:
+            np.testing.assert_array_equal(
+                np.asarray(mixed[uid].global_ids),
+                np.asarray(solo[uid].global_ids), err_msg=f"uid {uid} global")
+            np.testing.assert_array_equal(
+                np.asarray(mixed[uid].semantic_ids),
+                np.asarray(solo[uid].semantic_ids),
+                err_msg=f"uid {uid} semantic")
+
     def test_stats_counters(self, setup):
         """Serving observability: counters agree with the request stream and
         the pool is fully released after the run."""
