@@ -90,6 +90,20 @@ class BiCodecTokenizer:
         semantic, global_ = self._tokenize(feat, ref_wav)  # (B,T), (B,32,nq)
         return jnp.swapaxes(global_, -1, -2), semantic
 
+    def tokenize_with_vars(self, variables, ssl_variables, wav: jnp.ndarray):
+        """Pure tokenize for embedding inside an OUTER jit (the SFT train
+        step): variables arrive as traced ARGUMENTS. Going through the
+        closure-based jitted helpers instead would bake the full frozen
+        weights into the outer program as constants — hundreds of MB of HLO
+        that the remote compiler rejects or chews on for tens of minutes
+        (CLAUDE.md #3)."""
+        ref_wav = self.get_ref_clip(wav)
+        hs = self.ssl.apply(ssl_variables, normalize_input(wav))
+        feat = ssl_mod.xlsr_features(hs)
+        semantic, global_ = self.model.apply(variables, feat, ref_wav,
+                                             method="tokenize")
+        return jnp.swapaxes(global_, -1, -2), semantic
+
     def detokenize(self, global_tokens, semantic_tokens):
         """global (B, 1, 32), semantic (B, T) -> wav (B, T*hop... )."""
         return self._detokenize(

@@ -80,12 +80,7 @@ class UniSE:
             )
         self.sft_params = sft_params
 
-        @jax.jit
-        def _wavlm_feats(wavlm_variables, wav):
-            padded = jnp.pad(wav, [(0, 0), (160, 160)])
-            hs = self.wavlm.apply(wavlm_variables, padded)
-            return ssl_mod.wavlm_features(hs)
-
+        _wavlm_feats = jax.jit(self.wavlm_feats_pure)
         self._wavlm_feats = lambda wav: _wavlm_feats(self.wavlm_variables, wav)
 
         @partial(jax.jit, static_argnames=("task", "semantic_length", "do_sample"))
@@ -104,6 +99,21 @@ class UniSE:
     def extract_semantic_features(self, wav: jnp.ndarray) -> jnp.ndarray:
         return self._wavlm_feats(wav)
 
+    def wavlm_feats_pure(self, variables, wav: jnp.ndarray) -> jnp.ndarray:
+        """WavLM feature path with variables as explicit arguments (safe to
+        trace inside an outer jit — no weight constants in the HLO)."""
+        padded = jnp.pad(wav, [(0, 0), (160, 160)])
+        return ssl_mod.wavlm_features(self.wavlm.apply(variables, padded))
+
+    def frozen_variables(self):
+        """The frozen pytrees the loss needs, for passing through jit
+        boundaries as arguments (never as closures — CLAUDE.md #3)."""
+        return {
+            "wavlm": self.wavlm_variables,
+            "bicodec": self.tokenizer.variables,
+            "ssl": self.tokenizer.ssl_variables,
+        }
+
     def stft_logmel(self, wav: jnp.ndarray) -> jnp.ndarray:
         cfg = self.config
         return dsp.stft_logmel(
@@ -113,15 +123,26 @@ class UniSE:
 
     # --- training (model.py:96-124) ---
 
-    def loss_fn(self, params, task: str, enroll, mix, target_wav):
+    def loss_fn(self, params, task: str, enroll, mix, target_wav,
+                frozen=None):
         """Single-task loss; tokenization and feature extraction are frozen.
         For 'rtse' the caller passes the interferer as target (model.py:99-102).
+
+        ``frozen`` (from :meth:`frozen_variables`) must be passed when this
+        is traced inside an outer jit (the SPMD train step): the frozen
+        weights then enter as program ARGUMENTS. The closure-based path is
+        kept for eager/inference use.
         """
-        global_tokens, semantic_tokens = self.tokenizer.tokenize(target_wav)
-        mix_feats = self.extract_semantic_features(mix)
-        enroll_feats = (
-            self.extract_semantic_features(enroll) if enroll is not None else None
-        )
+        if frozen is not None:
+            global_tokens, semantic_tokens = self.tokenizer.tokenize_with_vars(
+                frozen["bicodec"], frozen["ssl"], target_wav)
+            feats = lambda w: self.wavlm_feats_pure(frozen["wavlm"], w)
+        else:
+            global_tokens, semantic_tokens = self.tokenizer.tokenize(
+                target_wav)
+            feats = self.extract_semantic_features
+        mix_feats = feats(mix)
+        enroll_feats = feats(enroll) if enroll is not None else None
         return self.sft.apply(
             params, TASK_MAP[task], enroll_feats, mix_feats,
             global_tokens[:, 0, :], semantic_tokens,

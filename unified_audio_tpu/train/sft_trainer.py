@@ -26,6 +26,11 @@ class SFTTrainer:
         self.optimizer = optimizer or make_optimizer()
         self.opt_state = self.optimizer.init(unise.sft_params)
         self.params = unise.sft_params
+        # frozen tokenizer/SSL weights ride the step as ARGUMENTS: closures
+        # would serialize them into the HLO as constants — hundreds of MB
+        # that remote compilers reject or take tens of minutes on
+        # (CLAUDE.md #3; bit us at full size, tiny test models hid it)
+        self.frozen = unise.frozen_variables()
         self.step = 0
 
         if mesh is not None:
@@ -36,11 +41,17 @@ class SFTTrainer:
             )
             # moment buffers follow the param shardings where shapes match
             self.opt_state = jax.device_put(self.opt_state, opt_shardings)
+            self.frozen = jax.device_put(
+                self.frozen,
+                jax.tree_util.tree_map(
+                    lambda x: mesh_lib.replicated(mesh), self.frozen),
+            )
 
         @partial(jax.jit, static_argnames=("task",), donate_argnums=(0, 1))
-        def _train_step(params, opt_state, task, enroll, mix, target):
+        def _train_step(params, opt_state, frozen, task, enroll, mix, target):
             def loss_fn(p):
-                loss, acc = self.unise.loss_fn(p, task, enroll, mix, target)
+                loss, acc = self.unise.loss_fn(p, task, enroll, mix, target,
+                                               frozen=frozen)
                 return loss, acc
 
             (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -61,7 +72,8 @@ class SFTTrainer:
             )
             enroll, mix, target = put(enroll), put(mix), put(target)
         self.params, self.opt_state, loss, acc = self._train_step(
-            self.params, self.opt_state, task, enroll, mix, target
+            self.params, self.opt_state, self.frozen, task, enroll, mix,
+            target
         )
         self.unise.sft_params = self.params
         self.step += 1
@@ -74,10 +86,12 @@ class Validator:
 
     def __init__(self, unise: UniSE):
         self.unise = unise
+        self.frozen = unise.frozen_variables()
 
         @partial(jax.jit, static_argnames=("task",))
-        def _eval(params, task, enroll, mix, target):
-            return self.unise.loss_fn(params, task, enroll, mix, target)
+        def _eval(params, frozen, task, enroll, mix, target):
+            return self.unise.loss_fn(params, task, enroll, mix, target,
+                                      frozen=frozen)
 
         self._eval = _eval
 
@@ -86,7 +100,8 @@ class Validator:
         for batch in batches:
             mode, enroll, mix, speech, interf, fs, lens, names = batch
             target = interf if mode == "rtse" else speech
-            loss, acc = self._eval(params, mode, enroll, mix, target)
+            loss, acc = self._eval(params, self.frozen, mode, enroll, mix,
+                                   target)
             losses += float(loss)
             accs += float(acc)
             n += 1
