@@ -37,7 +37,10 @@ def main(batch: int = 8, steps: int = 8):
     mix = rng.standard_normal((batch, seg)).astype(np.float32) * 0.1
     target = rng.standard_normal((batch, seg)).astype(np.float32) * 0.1
 
-    trainer.train_step("se", None, mix, target)  # compile + warm
+    # compile + warm every (task, enroll-ness) jit signature the loop hits
+    trainer.train_step("se", None, mix, target)
+    trainer.train_step("tse", mix, mix, target)
+    trainer.train_step("rtse", mix, mix, target)
     t0 = time.perf_counter()
     for i in range(steps):
         task = ("se", "tse", "rtse")[i % 3]

@@ -225,6 +225,42 @@ class TestEngine:
                 np.asarray(solo[uid].semantic_ids),
                 err_msg=f"uid {uid} semantic")
 
+    def test_cancel_mid_flight(self, setup):
+        """Cancelling one request frees its slot/blocks and does not perturb
+        the surviving request's greedy output."""
+        cfg, sft, params, rng = setup
+        feats = rng.standard_normal((10, 12)).astype(np.float32)
+        keep = Request(task_id=0, mix_feats=feats, global_length=3,
+                       semantic_length=8, do_sample=False, uid=1)
+        solo = make_engine(sft, params).run([keep], jax.random.PRNGKey(0))[1]
+
+        eng = make_engine(sft, params)
+        victim = Request(task_id=0,
+                         mix_feats=rng.standard_normal((10, 12)).astype(
+                             np.float32),
+                         global_length=8, semantic_length=16,
+                         do_sample=False, uid=2)
+        eng.admit_many([keep, victim], jax.random.PRNGKey(0))
+        eng.step(n=4)
+        assert eng.cancel(2)
+        assert not eng.cancel(99)
+        blocks_free = len(eng.allocator.free)
+        # drive the survivor to completion
+        res = None
+        for _ in range(40):
+            eng.step(n=4)
+            out = eng.harvest()
+            if out:
+                res = out[0]
+                break
+        assert res is not None and res.uid == 1
+        np.testing.assert_array_equal(np.asarray(res.global_ids),
+                                      np.asarray(solo.global_ids))
+        np.testing.assert_array_equal(np.asarray(res.semantic_ids),
+                                      np.asarray(solo.semantic_ids))
+        assert len(eng.allocator.free) > blocks_free  # survivor's too, now
+        assert eng.stats()["requests_cancelled"] == 1
+
     def test_stats_counters(self, setup):
         """Serving observability: counters agree with the request stream and
         the pool is fully released after the run."""

@@ -563,6 +563,29 @@ class ContinuousBatchingEngine:
         out["pool_utilization"] = held / max(1, self.num_blocks - 1)
         return out
 
+    def cancel(self, uid: int) -> bool:
+        """Cancel an in-flight request: release its blocks and mark the slot
+        inactive (the slot scatters to the trash block until reused). Returns
+        False if the uid is not currently in a slot. No device sync; the
+        in-graph phase flips lazily at the next admission over that slot —
+        until then the slot decodes into discarded state."""
+        for s in range(self.num_slots):
+            if self._uids[s] == uid:
+                self.allocator.release(self._slot_blocks[s])
+                self._slot_blocks[s] = []
+                self._uids[s] = None
+                self._remaining[s] = 0
+                self._done_slots.discard(s)
+                # deactivate in-graph so the slot stops writing KV/outputs
+                self.state = dict(self.state)
+                self.state["phase"] = self.state["phase"].at[s].set(
+                    PHASE_DONE)
+                self._phase_cache = None
+                self._stats["requests_cancelled"] = (
+                    self._stats.get("requests_cancelled", 0) + 1)
+                return True
+        return False
+
     def drain_stashes(self) -> List[Result]:
         """Fetch the outputs stashed by displacing inserts. Call AFTER
         dispatching the next decode chunks so the fetch round trip overlaps
