@@ -164,15 +164,23 @@ def cmd_train_codec(args):
     import jax
     import jax.numpy as jnp
 
-    from .models.hcodec.codec import hcodec10_config
+    from .models.hcodec.codec import hcodec10_config, hcodec20_config
     from .train.codec_trainer import CodecGANTrainer, CodecTrainConfig
     from .utils.config import load_yaml
 
     cfg = load_yaml(args.config) if args.config else {}
-    codec_cfg = hcodec10_config(**cfg.get("codec", {}))
+    builders = {"hcodec10": hcodec10_config, "hcodec20": hcodec20_config}
+    model = cfg.get("model", "hcodec10")
+    if model not in builders:
+        sys.exit(f"error: unknown codec model {model!r}; "
+                 f"choose from {sorted(builders)}")
+    codec_cfg = builders[model](**cfg.get("codec", {}))
     b = cfg.get("batch_size", 8)
     t = cfg.get("segment_samples", 48000)
-    example = (jnp.zeros((b, t)), jnp.zeros((b, t // 320, codec_cfg.feat_dim)))
+    # SSL features run at 50 Hz on the 16 kHz (re)sampled audio
+    feat_frames = t * 50 // codec_cfg.sample_rate
+    example = (jnp.zeros((b, t)),
+               jnp.zeros((b, feat_frames, codec_cfg.feat_dim)))
     trainer = CodecGANTrainer(
         codec_cfg, CodecTrainConfig(**cfg.get("train", {})),
         rng=jax.random.PRNGKey(cfg.get("seed", 0)), example_batch=example,
