@@ -24,6 +24,15 @@ KV written at positions >= true_len is overwritten by each decode step
 before it ever becomes visible (the step at index i rewrites position i and
 attends key_pos <= i). The paged path is therefore numerically identical to
 ``LLMSFT.generate`` (tests/test_engine.py pins greedy equivalence).
+
+Scheduling (run()) is DETERMINISTIC and sync-free between waves: decode
+lengths are fixed, so completions are known host-side; finished slots are
+reaped and reused by displacing admissions whose insert program stashes the
+finished outputs in-graph; the host fetches stashes while the next wave's
+decode chunks (an exact power-of-two decomposition to the next completion
+point) execute on device. Every host<->device interaction on a
+tunnel-attached chip costs ~25 ms — the design keeps them off the critical
+path (measured 2.9x sustained throughput over the sync-per-wave scheduler).
 """
 from __future__ import annotations
 
