@@ -253,6 +253,46 @@ class TestHCodecConverter:
         np.testing.assert_allclose(np.asarray(rec1), np.asarray(rec2),
                                    atol=1e-5)
 
+    def test_hcodec20_roundtrip_and_runs(self, rng):
+        """HCodec-2.0 convert(export(init)) is forward-identical (STFT
+        encoder, repeat-interleave decoder, 16-deep RVQ layout)."""
+        from unified_audio_tpu.models.hcodec.codec import HCodec
+        from unified_audio_tpu.utils.convert_hcodec import (
+            convert_hcodec20, export_hcodec20_state_dict,
+        )
+        from tests.test_hcodec import small20
+
+        cfg = small20()
+        m = HCodec(cfg)
+        L = cfg.hop_length * 2
+        wav = jnp.asarray(rng.standard_normal((1, L, 1)).astype(np.float32))
+        feat = jnp.asarray(rng.standard_normal(
+            (1, L * 50 // cfg.sample_rate, cfg.feat_dim)).astype(np.float32))
+        variables = m.init(
+            {"params": jax.random.PRNGKey(0), "quant": jax.random.PRNGKey(1)},
+            wav, feat, train=False,
+        )
+        sd = export_hcodec20_state_dict(variables, cfg)
+        back = convert_hcodec20(sd, cfg)
+
+        ref_flat = {jax.tree_util.keystr(k): v for k, v in
+                    jax.tree_util.tree_flatten_with_path(
+                        {"params": variables["params"],
+                         "codebook": variables["codebook"]})[0]}
+        back_flat = {jax.tree_util.keystr(k): v for k, v in
+                     jax.tree_util.tree_flatten_with_path(back)[0]}
+        assert not set(ref_flat) - set(back_flat), \
+            sorted(set(ref_flat) - set(back_flat))[:5]
+
+        ac1, sem1 = m.apply(variables, wav, feat, method="encode")
+        ac2, sem2 = m.apply(back, wav, feat, method="encode")
+        np.testing.assert_array_equal(np.asarray(ac1), np.asarray(ac2))
+        np.testing.assert_array_equal(np.asarray(sem1), np.asarray(sem2))
+        rec1 = m.apply(variables, ac1, sem1, method="decode")
+        rec2 = m.apply(back, ac1, sem1, method="decode")
+        np.testing.assert_allclose(np.asarray(rec1), np.asarray(rec2),
+                                   atol=1e-5)
+
 
 class TestCustomLlamaConverter:
     """convert_custom_llama <-> export round trip + the CLI checkpoint loader

@@ -83,20 +83,20 @@ def _build_unise(seed: int = 3407, ckpt: str | None = None):
                  sft_params=sft_params)
 
 
-def _prepare_wav(wav: np.ndarray, fs: int) -> np.ndarray:
-    """(channels, T) native-rate -> (1, T) mono 16 kHz. UniSE assumes 16 kHz
-    mono; stereo channels must not be flattened into separate segments."""
+def _prepare_wav(wav: np.ndarray, fs: int, sr: int = TARGET_SR) -> np.ndarray:
+    """(channels, T) native-rate -> (1, T) mono at ``sr``. Stereo channels
+    must not be flattened into separate segments."""
     if wav.ndim == 1:
         wav = wav[None]
     if wav.shape[0] > 1:
         wav = wav.mean(axis=0, keepdims=True)
-    if fs != TARGET_SR:
+    if fs != sr:
         import jax.numpy as jnp
 
         from .ops.dsp import resample
 
-        wav = np.asarray(resample(jnp.asarray(wav), fs, TARGET_SR))
-        print(f"resampled {fs} Hz -> {TARGET_SR} Hz", file=sys.stderr)
+        wav = np.asarray(resample(jnp.asarray(wav), fs, sr))
+        print(f"resampled {fs} Hz -> {sr} Hz", file=sys.stderr)
     return wav.astype(np.float32)
 
 
@@ -237,7 +237,8 @@ def cmd_codec(args):
     if args.ckpt and not Path(args.ckpt).exists():
         sys.exit(f"error: checkpoint not found: {args.ckpt}")
     wav, fs = read_wav(args.input)
-    wav = _prepare_wav(wav, fs)
+    sr = 48000 if args.model == "hcodec20" else TARGET_SR
+    wav = _prepare_wav(wav, fs, sr)
 
     if args.model == "flexicodec":
         from .models.hcodec.flexicodec import FlexiCodec
@@ -255,20 +256,23 @@ def cmd_codec(args):
         ac, sem = model.apply(variables, jnp.asarray(wav), method="encode")
         rec = np.asarray(model.apply(variables, ac, sem, method="decode"))[0]
         rate = float(ac.shape[1]) / (wav.shape[-1] / TARGET_SR)
-    else:  # hcodec10
+    else:  # hcodec10 / hcodec20
+        from .models.hcodec.codec import hcodec10_config, hcodec20_config
         from .models.hcodec.tokenizer import HCodecTokenizer
+        from .utils.convert_hcodec import convert_hcodec10, convert_hcodec20
 
+        cfg_fn, conv_fn = ((hcodec20_config, convert_hcodec20)
+                           if args.model == "hcodec20"
+                           else (hcodec10_config, convert_hcodec10))
+        cfg = cfg_fn()
         if args.ckpt:
             import torch
 
-            from .models.hcodec.codec import HCodec, hcodec10_config
             from .models.ssl import wav2vec2 as ssl_mod
-            from .utils.convert_hcodec import convert_hcodec10
 
-            cfg = hcodec10_config()
             sd = torch.load(args.ckpt, map_location="cpu", weights_only=False)
             sd = sd.get("state_dict", sd) if isinstance(sd, dict) else sd
-            codec_vars = convert_hcodec10(sd, cfg)
+            codec_vars = conv_fn(sd, cfg)
             rnd = HCodecTokenizer.from_random(jax.random.PRNGKey(0), cfg)
             tok = HCodecTokenizer(cfg, codec_vars,
                                   ssl_mod.hubert_base_config(),
@@ -279,13 +283,13 @@ def cmd_codec(args):
         else:
             print("WARNING: random weights — reconstruction is not "
                   "meaningful", file=sys.stderr)
-            tok = HCodecTokenizer.from_random(jax.random.PRNGKey(0))
+            tok = HCodecTokenizer.from_random(jax.random.PRNGKey(0), cfg)
         x = jnp.asarray(wav)
         ac, sem = tok.tokenize(x)
         rec = np.asarray(tok.detokenize(ac, sem))[0]
-        rate = float(ac.shape[1]) / (wav.shape[-1] / TARGET_SR)
+        rate = float(ac.shape[1]) / (wav.shape[-1] / sr)
 
-    write_wav(args.output, rec, TARGET_SR)
+    write_wav(args.output, rec, sr)
     print(json.dumps({"model": args.model, "tokens_per_sec": round(rate, 2),
                       "acoustic_shape": list(np.asarray(ac).shape),
                       "out": str(args.output)}))
@@ -416,12 +420,12 @@ def main(argv=None):
     t3.set_defaults(fn=cmd_enhance)
 
     t5 = sub.add_parser("codec")
-    t5.add_argument("--model", choices=["hcodec10", "flexicodec"],
+    t5.add_argument("--model", choices=["hcodec10", "hcodec20", "flexicodec"],
                     default="hcodec10")
     t5.add_argument("--input", required=True)
     t5.add_argument("--output", required=True)
     t5.add_argument("--ckpt", default=None,
-                    help="torch weights.pt for hcodec10 (convert_hcodec10)")
+                    help="torch weights.pt (convert_hcodec10/20 by --model)")
     t5.set_defaults(fn=cmd_codec)
 
     t6 = sub.add_parser("serve")

@@ -202,6 +202,73 @@ def _codec_decoder(sd, prefix, convnext_layers=12):
     return p
 
 
+def _convnext_stack(sd, prefix, n):
+    """Reference per-layer ConvNeXt modules {prefix}.{i} -> our nn.scan
+    stacked layout {"stack": {"block": leading-layer-axis tree}}."""
+    import jax
+
+    blocks = [_convnext_block_h(sd, f"{prefix}.{i}") for i in range(n)]
+    return {"stack": {"block": jax.tree_util.tree_map(
+        lambda *xs: np.stack(xs), *blocks)}}
+
+
+def _codec_encoder20(sd, prefix, cfg):
+    """HCodec-2.0 STFT-domain encoder (HCodec-2.0/vq/codec_encoder.py:12-79):
+    embed conv, ConvNeXt prior stack, transformer at post_net.1 (between the
+    Transpose wrappers), strided out conv."""
+    return {
+        "embed": _hconv(sd, f"{prefix}.embed"),
+        "norm": _layernorm(sd, f"{prefix}.norm"),
+        "prior_net": _convnext_stack(sd, f"{prefix}.prior_net",
+                                     cfg.encoder_convnext_layers),
+        "post_net": _hybrid_transformer(sd, f"{prefix}.post_net.1"),
+        "final_layer_norm": _layernorm(sd, f"{prefix}.final_layer_norm"),
+        "out": _hconv(sd, f"{prefix}.out"),
+    }
+
+
+def _codec_decoder20(sd, prefix, cfg):
+    """HCodec-2.0 decoder (HCodec-2.0/vq/codec_decoder.py:14-72): plain conv
+    embed after repeat-interleave; prior_net sequential indices 0,1 res /
+    3 transformer / 5,6 res / 7 groupnorm; ConvNeXt post stack; ISTFT head."""
+    return {
+        "embed": _hconv(sd, f"{prefix}.embed"),
+        "prior_net": {
+            "res0": _resnet_block(sd, f"{prefix}.prior_net.0"),
+            "res1": _resnet_block(sd, f"{prefix}.prior_net.1"),
+            "transformer": _hybrid_transformer(sd, f"{prefix}.prior_net.3"),
+            "res2": _resnet_block(sd, f"{prefix}.prior_net.5"),
+            "res3": _resnet_block(sd, f"{prefix}.prior_net.6"),
+            "norm_out": _groupnorm(sd, f"{prefix}.prior_net.7"),
+        },
+        "norm": _layernorm(sd, f"{prefix}.norm"),
+        "post_net": _convnext_stack(sd, f"{prefix}.post_net",
+                                    cfg.decoder_convnext_layers),
+        "final_layer_norm": _layernorm(sd, f"{prefix}.final_layer_norm"),
+        "head": {"out": _linear(sd, f"{prefix}.head.out")},
+    }
+
+
+def convert_hcodec20(state_dict: Dict, cfg) -> Dict:
+    """HCodec-2.0 checkpoint (torch Codec state dict, HCodec-2.0/vq/codec.py)
+    -> {"params", "codebook"} for models.hcodec.HCodec(version='2.0')."""
+    sd = dict(state_dict)
+    params = {
+        "encoder": _codec_encoder20(sd, "encoder", cfg),
+        "decoder": _codec_decoder20(sd, "decoder", cfg),
+        "semantic_encoder": _semantic_encoder(sd, "semantic_encoder",
+                                              cfg.semantic_strides),
+        "semantic_decoder": _semantic_decoder(sd, "semantic_decoder",
+                                              cfg.semantic_strides),
+    }
+    codebook = {
+        "quantizer": _rvq(sd, "quantizer", cfg.num_quantizers),
+        "semantic_quantizer": _rvq(sd, "semantic_quantizer",
+                                   cfg.num_quantizers),
+    }
+    return {"params": params, "codebook": codebook}
+
+
 def convert_hcodec10(state_dict: Dict, cfg) -> Dict:
     """weights.pt -> {"params": ..., "codebook": ...} for models.hcodec.HCodec."""
     sd = dict(state_dict)
@@ -298,30 +365,9 @@ def export_hcodec10_state_dict(variables, cfg) -> Dict[str, np.ndarray]:
     _inv_sconv(enc["conv_out"], "encoder.model.17", out)
 
     for qname in ("quantizer", "semantic_quantizer"):
-        for lname, layer in cb[qname].items():
-            i = lname.split("_")[1]
-            pre = f"{qname}.layers.{i}._codebook"
-            out[f"{pre}.embed"] = np.asarray(layer["embed"])[None]
-            out[f"{pre}.embed_avg"] = np.asarray(layer["embed_avg"])[None]
-            out[f"{pre}.cluster_size"] = np.asarray(layer["cluster_size"])[None]
-            out[f"{pre}.initted"] = np.asarray(layer["inited"]).reshape(1)
-
-    for sname, conv_fn in (("semantic_encoder", None), ("semantic_decoder", None)):
-        sp = p[sname]
-        first = "conv" if sname == "semantic_encoder" else "conv1"
-        _inv_hconv(sp[first], f"{sname}.{first}", out)
-        for i, stride in enumerate(cfg.semantic_strides):
-            bp = f"{sname}.conv_blocks.{i}"
-            block = sp[f"block_{i}"]
-            if sname == "semantic_decoder" and stride > 1:
-                k = np.asarray(block["conv"]["kernel"]).transpose(1, 2, 0)
-                out[f"{bp}.conv.deconv.weight"] = k
-                out[f"{bp}.conv.deconv.bias"] = np.asarray(block["conv"]["bias"])
-            else:
-                _inv_hconv(block["conv"], f"{bp}.conv", out)
-            _inv_semantic_unit(block["res_0"], f"{bp}.res_units.0", out)
-            _inv_semantic_unit(block["res_1"], f"{bp}.res_units.1", out)
-        _inv_hconv(sp["conv2"], f"{sname}.conv2", out)
+        _inv_rvq(cb, qname, out)
+    for sname in ("semantic_encoder", "semantic_decoder"):
+        _inv_semantic_branch(p[sname], sname, cfg.semantic_strides, out)
 
     dec = p["decoder"]
     out["decoder.embed.up.weight"] = np.asarray(
@@ -330,34 +376,97 @@ def export_hcodec10_state_dict(variables, cfg) -> Dict[str, np.ndarray]:
     out["decoder.embed.dw.weight"] = np.asarray(
         dec["embed"]["dw_kernel"]).transpose(2, 1, 0)
     out["decoder.embed.dw.bias"] = np.asarray(dec["embed"]["bias"])
-    pn = dec["prior_net"]
-    for ours, theirs in (("res0", 0), ("res1", 1), ("res2", 5), ("res3", 6)):
-        rp = f"decoder.prior_net.{theirs}"
-        _inv_gn(pn[ours]["norm1"], f"{rp}.norm1", out)
-        _inv_hconv(pn[ours]["conv1"], f"{rp}.conv1", out)
-        _inv_gn(pn[ours]["norm2"], f"{rp}.norm2", out)
-        _inv_hconv(pn[ours]["conv2"], f"{rp}.conv2", out)
-    _inv_transformer(pn["transformer"], "decoder.prior_net.3", out)
-    _inv_gn(pn["norm_out"], "decoder.prior_net.7", out)
-    out["decoder.norm.weight"] = np.asarray(dec["norm"]["scale"])
-    out["decoder.norm.bias"] = np.asarray(dec["norm"]["bias"])
-    out["decoder.final_layer_norm.weight"] = np.asarray(
-        dec["final_layer_norm"]["scale"])
-    out["decoder.final_layer_norm.bias"] = np.asarray(
-        dec["final_layer_norm"]["bias"])
+    _inv_prior_net(dec["prior_net"], "decoder.prior_net", out)
+    _inv_ln(dec["norm"], "decoder.norm", out)
+    _inv_ln(dec["final_layer_norm"], "decoder.final_layer_norm", out)
     _inv_linear(dec["head"]["out"], "decoder.head.out", out)
+    _inv_convnext_stack(dec["post_net"], "decoder.post_net", out)
+    return out
 
+
+def _inv_convnext_stack(p, prefix, out):
     import jax
 
-    stacked = dec["post_net"]["stack"]["block"]
+    stacked = p["stack"]["block"]
     n = np.asarray(stacked["norm"]["scale"]).shape[0]
     for i in range(n):
         blk = jax.tree_util.tree_map(lambda x: np.asarray(x)[i], stacked)
-        bp = f"decoder.post_net.{i}"
+        bp = f"{prefix}.{i}"
         _inv_hconv(blk["dwconv"], f"{bp}.dwconv", out)
         out[f"{bp}.norm.weight"] = blk["norm"]["scale"]
         out[f"{bp}.norm.bias"] = blk["norm"]["bias"]
         _inv_linear(blk["pwconv1"], f"{bp}.pwconv1.linear", out)
         _inv_linear(blk["pwconv2"], f"{bp}.pwconv2.linear", out)
         out[f"{bp}.gamma"] = blk["gamma"]
+
+
+def _inv_ln(p, prefix, out):
+    out[f"{prefix}.weight"] = np.asarray(p["scale"])
+    out[f"{prefix}.bias"] = np.asarray(p["bias"])
+
+
+def _inv_semantic_branch(p, sname, strides, out):
+    first = "conv" if sname == "semantic_encoder" else "conv1"
+    _inv_hconv(p[first], f"{sname}.{first}", out)
+    for i, stride in enumerate(strides):
+        bp = f"{sname}.conv_blocks.{i}"
+        block = p[f"block_{i}"]
+        if sname == "semantic_decoder" and stride > 1:
+            k = np.asarray(block["conv"]["kernel"]).transpose(1, 2, 0)
+            out[f"{bp}.conv.deconv.weight"] = k
+            out[f"{bp}.conv.deconv.bias"] = np.asarray(block["conv"]["bias"])
+        else:
+            _inv_hconv(block["conv"], f"{bp}.conv", out)
+        _inv_semantic_unit(block["res_0"], f"{bp}.res_units.0", out)
+        _inv_semantic_unit(block["res_1"], f"{bp}.res_units.1", out)
+    _inv_hconv(p["conv2"], f"{sname}.conv2", out)
+
+
+def _inv_rvq(cb, qname, out):
+    for lname, layer in cb[qname].items():
+        i = lname.split("_")[1]
+        pre = f"{qname}.layers.{i}._codebook"
+        out[f"{pre}.embed"] = np.asarray(layer["embed"])[None]
+        out[f"{pre}.embed_avg"] = np.asarray(layer["embed_avg"])[None]
+        out[f"{pre}.cluster_size"] = np.asarray(layer["cluster_size"])[None]
+        out[f"{pre}.initted"] = np.asarray(layer["inited"]).reshape(1)
+
+
+def _inv_prior_net(pn, prefix, out):
+    for ours, theirs in (("res0", 0), ("res1", 1), ("res2", 5), ("res3", 6)):
+        rp = f"{prefix}.{theirs}"
+        _inv_gn(pn[ours]["norm1"], f"{rp}.norm1", out)
+        _inv_hconv(pn[ours]["conv1"], f"{rp}.conv1", out)
+        _inv_gn(pn[ours]["norm2"], f"{rp}.norm2", out)
+        _inv_hconv(pn[ours]["conv2"], f"{rp}.conv2", out)
+    _inv_transformer(pn["transformer"], f"{prefix}.3", out)
+    _inv_gn(pn["norm_out"], f"{prefix}.7", out)
+
+
+def export_hcodec20_state_dict(variables, cfg) -> Dict[str, np.ndarray]:
+    """Our HCodec-2.0 variables -> a reference-layout torch state dict
+    (round-trip partner of convert_hcodec20)."""
+    p = variables["params"]
+    out: Dict[str, np.ndarray] = {}
+
+    enc = p["encoder"]
+    _inv_hconv(enc["embed"], "encoder.embed", out)
+    _inv_ln(enc["norm"], "encoder.norm", out)
+    _inv_convnext_stack(enc["prior_net"], "encoder.prior_net", out)
+    _inv_transformer(enc["post_net"], "encoder.post_net.1", out)
+    _inv_ln(enc["final_layer_norm"], "encoder.final_layer_norm", out)
+    _inv_hconv(enc["out"], "encoder.out", out)
+
+    dec = p["decoder"]
+    _inv_hconv(dec["embed"], "decoder.embed", out)
+    _inv_prior_net(dec["prior_net"], "decoder.prior_net", out)
+    _inv_ln(dec["norm"], "decoder.norm", out)
+    _inv_convnext_stack(dec["post_net"], "decoder.post_net", out)
+    _inv_ln(dec["final_layer_norm"], "decoder.final_layer_norm", out)
+    _inv_linear(dec["head"]["out"], "decoder.head.out", out)
+
+    for qname in ("quantizer", "semantic_quantizer"):
+        _inv_rvq(variables["codebook"], qname, out)
+    for sname in ("semantic_encoder", "semantic_decoder"):
+        _inv_semantic_branch(p[sname], sname, cfg.semantic_strides, out)
     return out
