@@ -135,6 +135,28 @@ class TestDataModule:
         assert len(it) == 2  # 16 // (4 * 2)
 
 
+class TestDevicePrefetcher:
+    def test_order_content_and_passthrough(self):
+        import jax
+        import numpy as np
+
+        from unified_audio_tpu.data.data_module import DevicePrefetcher
+
+        batches = [("se", None, np.full((2, 4), i, np.float32), [f"n{i}"])
+                   for i in range(5)]
+        out = list(DevicePrefetcher(iter(batches), depth=2))
+        assert len(out) == 5
+        for i, (mode, enroll, arr, names) in enumerate(out):
+            assert mode == "se" and enroll is None and names == [f"n{i}"]
+            assert isinstance(arr, jax.Array)
+            np.testing.assert_array_equal(np.asarray(arr), batches[i][2])
+
+    def test_empty_iterator(self):
+        from unified_audio_tpu.data.data_module import DevicePrefetcher
+
+        assert list(DevicePrefetcher(iter([]))) == []
+
+
 class TestWatchdog:
     def test_call_with_timeout(self):
         import time

@@ -103,7 +103,7 @@ def _prepare_wav(wav: np.ndarray, fs: int, sr: int = TARGET_SR) -> np.ndarray:
 def cmd_train_unise(args):
     import jax
 
-    from .data.data_module import TrainDataIterator
+    from .data.data_module import DevicePrefetcher, TrainDataIterator
     from .parallel import mesh as mesh_lib
     from .train.checkpoint import CheckpointManager
     from .train.optim import make_optimizer
@@ -128,7 +128,9 @@ def cmd_train_unise(args):
         trainer.step = last
         print(f"resumed from step {last}", file=sys.stderr)
 
-    data = TrainDataIterator(**cfg["dataset"])
+    # stage batches on device while the previous step computes (transfers
+    # cost >100 ms/step at full size on tunnel-attached chips)
+    data = DevicePrefetcher(TrainDataIterator(**cfg["dataset"]))
     # validation cadence (reference validates every 0.5 epoch and saves a
     # manual ckpt at each val-epoch end, model.py:160-168; here the cadence
     # is step-based: val_every steps -> run Validator + save checkpoint)

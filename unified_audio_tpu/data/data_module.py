@@ -245,3 +245,50 @@ class TrainDataIterator:
                 yield q.get(timeout=1.0)
             except queue.Empty:
                 continue
+
+
+class DevicePrefetcher:
+    """Stage upcoming batches' arrays onto the accelerator from a background
+    thread so host->device transfers overlap the current train step.
+
+    On tunnel-attached chips a full-size UniSE batch is ~10 MB at
+    ~80 MB/s — over 100 ms per step if transferred synchronously inside the
+    step. The prefetcher calls ``jax.device_put`` on every ndarray leaf of
+    the next ``depth`` batches while the device computes; non-array fields
+    (mode strings, name lists) pass through untouched.
+
+    The reference has no analogue (its DataLoader stops at host tensors;
+    Lightning moves them at step time)."""
+
+    def __init__(self, iterator, depth: int = 2, device=None):
+        self.iterator = iterator
+        self.depth = depth
+        self.device = device
+
+    def _stage(self, batch):
+        import jax
+
+        def put(x):
+            if isinstance(x, np.ndarray):
+                return (jax.device_put(x, self.device)
+                        if self.device is not None else jax.device_put(x))
+            return x
+
+        return tuple(put(x) for x in batch) if isinstance(batch, tuple) \
+            else put(batch)
+
+    def __iter__(self):
+        q: queue.Queue = queue.Queue(maxsize=self.depth)
+        stop = object()
+
+        def producer():
+            for batch in self.iterator:
+                q.put(self._stage(batch))
+            q.put(stop)
+
+        threading.Thread(target=producer, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is stop:
+                return
+            yield item
