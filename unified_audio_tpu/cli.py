@@ -391,7 +391,13 @@ def cmd_eval(args):
     cfg = EvalConfig(mode=args.mode, data_src_dir=args.test_dir,
                      data_tgt_dir=args.tgt_dir, data_enroll_dir=args.enroll_dir,
                      save_enhanced=args.save_enhanced, limit=args.max_items)
-    stats = evaluate(unise, cfg, rng=jax.random.PRNGKey(args.seed))
+    # SPK-SIM scores through the BiCodec ECAPA x-vector branch (the weights
+    # in use — converted or random — also gate how meaningful it is)
+    from .eval.metrics import make_spk_embed_fn
+
+    spk = make_spk_embed_fn(unise.tokenizer.model, unise.tokenizer.variables)
+    stats = evaluate(unise, cfg, rng=jax.random.PRNGKey(args.seed),
+                     spk_embed_fn=spk)
     print(json.dumps(stats))
 
 

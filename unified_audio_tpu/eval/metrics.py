@@ -386,12 +386,20 @@ def spk_sim(emb_est: np.ndarray, emb_ref: np.ndarray) -> float:
     return float(np.dot(a, b) / denom)
 
 
-def make_spk_embed_fn(bicodec, variables):
+def make_spk_embed_fn(bicodec, variables, window_seconds: float = 10.0,
+                      fs: int = 16000):
     """wav (1, T) float -> x-vector (E,) through BiCodec's mel frontend and
-    ECAPA-TDNN speaker encoder (bicodec.py:189). Jitted once; reuse across
-    utterances (pad/trim callers keep shapes static per call site)."""
+    ECAPA-TDNN speaker encoder (bicodec.py:189).
+
+    Utterances are tiled/cropped to a FIXED ``window_seconds`` analysis
+    window (speaker embeddings are length-insensitive at these durations),
+    so the jitted program compiles ONCE regardless of input length —
+    variable shapes would recompile per utterance, minutes each on
+    remote-compiled backends."""
     import jax
     import jax.numpy as jnp
+
+    win = int(window_seconds * fs)
 
     @jax.jit
     def _emb(wav):
@@ -402,7 +410,13 @@ def make_spk_embed_fn(bicodec, variables):
         return bicodec.apply(variables, wav, method=f)
 
     def embed(wav: np.ndarray) -> np.ndarray:
-        return np.asarray(_emb(jnp.asarray(wav, jnp.float32)))[0]
+        wav = np.asarray(wav, np.float32)
+        t = wav.shape[-1]
+        if t < win:
+            reps = -(-win // t)
+            wav = np.tile(wav, (1, reps))
+        wav = wav[:, :win]
+        return np.asarray(_emb(jnp.asarray(wav)))[0]
 
     return embed
 
