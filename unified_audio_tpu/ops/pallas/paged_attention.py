@@ -25,6 +25,14 @@ DMA per step. The XLA full-pool formulation in serve/paged.py does all 12
 layers in 1.29 ms (~0.11 ms/layer) with large fused reads, so it remains
 the production decode path; this kernel is kept as the evaluated
 alternative (it would need multi-block DMAs + double buffering to win).
+
+SECOND EVALUATION (round 2, session 2): a per-head full-pool variant
+(grid (H,), one 860 KB k + 860 KB v DMA per step, whole-row softmax in
+VMEM, max err 6.7e-4) measured 41.5 us/layer with the slope method —
+still grid/DMA-overhead bound vs ~18 us/layer for the XLA attention at
+identical shapes, which runs at the measured HBM speed of light
+(~780 GB/s). Conclusion stands, now with three data points: at decode
+shapes this small, XLA's fused full-pool read is the right formulation.
 """
 from __future__ import annotations
 
