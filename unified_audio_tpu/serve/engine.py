@@ -159,7 +159,7 @@ class ContinuousBatchingEngine:
 
         gmask = range_mask(cfg, cfg.global_offset, cfg.global_size)
         smask = range_mask(cfg, cfg.semantic_offset, cfg.semantic_size)
-        kv_dtype, bs, mb = self.kv_dtype, block_size, self.max_blocks
+        kv_dtype, bs = self.kv_dtype, block_size
 
         @partial(jax.jit, static_argnames=("with_enroll",),
                  donate_argnums=(1, 2))
@@ -471,7 +471,6 @@ class ContinuousBatchingEngine:
             if not fitting:
                 continue
 
-            b = len(fitting)
             # fixed wave size: ONE prefill program per (mix, enroll) bucket
             # signature for the engine's lifetime. Padded rows cost negligible
             # prefill compute but mid-run recompiles cost 6-8 s each on
