@@ -51,7 +51,30 @@ def _load_sft_checkpoint(ckpt: str, llm_cfg):
     return params
 
 
-def _build_unise(seed: int = 3407, ckpt: str | None = None):
+def _load_bicodec_variables(path: str, cfg):
+    """Converted BiCodec weights from the reference's safetensors file (or a
+    torch .pt state dict) via utils/convert_bicodec (reference:
+    bicodec.py:100 load_from_checkpoint)."""
+    p = Path(path)
+    if not p.exists():
+        sys.exit(f"error: bicodec checkpoint not found: {path}")
+    if p.suffix == ".safetensors":
+        from safetensors.torch import load_file
+
+        sd = load_file(str(p))
+    else:
+        import torch
+
+        blob = torch.load(p, map_location="cpu", weights_only=False)
+        sd = blob.get("state_dict", blob) if isinstance(blob, dict) else blob
+    from .utils.convert_bicodec import convert_bicodec
+
+    print(f"converted BiCodec checkpoint {path}", file=sys.stderr)
+    return convert_bicodec(sd, cfg)
+
+
+def _build_unise(seed: int = 3407, ckpt: str | None = None,
+                 bicodec_ckpt: str | None = None):
     """Full-size UniSE stack. With ``ckpt``, the LM weights are restored
     (orbax dir or converted torch file); without, the stack is RANDOMLY
     initialized and a loud warning is emitted — outputs are meaningless."""
@@ -74,6 +97,8 @@ def _build_unise(seed: int = 3407, ckpt: str | None = None):
     key = jax.random.PRNGKey(seed)
     k1, k2, k3 = jax.random.split(key, 3)
     tok = BiCodecTokenizer.from_random(k1)
+    if bicodec_ckpt:
+        tok.variables = _load_bicodec_variables(bicodec_ckpt, tok.config)
     wavlm_cfg = ssl_mod.wavlm_base_plus_config()
     wavlm = ssl_mod.Wav2Vec2Model(wavlm_cfg)
     wavlm_vars = init_on_cpu(
@@ -210,7 +235,8 @@ def cmd_enhance(args):
         e, efs = read_wav(args.enroll)
         enroll_wav = _prepare_wav(e, efs)
 
-    unise = _build_unise(ckpt=args.ckpt)
+    unise = _build_unise(ckpt=args.ckpt,
+                         bicodec_ckpt=getattr(args, "bicodec_ckpt", None))
     rng = jax.random.PRNGKey(args.seed)
     if args.mode == "se":
         est = unise.enhance_se(wav, rng, do_sample=args.sample)
@@ -387,15 +413,26 @@ def cmd_eval(args):
     if args.ckpt and not Path(args.ckpt).exists():
         sys.exit(f"error: checkpoint not found: {args.ckpt}")
 
-    unise = _build_unise(ckpt=args.ckpt)
+    unise = _build_unise(ckpt=args.ckpt, bicodec_ckpt=args.bicodec_ckpt)
     cfg = EvalConfig(mode=args.mode, data_src_dir=args.test_dir,
                      data_tgt_dir=args.tgt_dir, data_enroll_dir=args.enroll_dir,
                      save_enhanced=args.save_enhanced, limit=args.max_items)
-    # SPK-SIM scores through the BiCodec ECAPA x-vector branch (the weights
-    # in use — converted or random — also gate how meaningful it is)
-    from .eval.metrics import make_spk_embed_fn
+    # SPK-SIM scores through the BiCodec ECAPA x-vector branch — only
+    # meaningful with converted speaker weights, so it is gated on
+    # --bicodec-ckpt (or forced with --spk-sim, which warns loudly)
+    spk = None
+    if args.bicodec_ckpt or args.spk_sim:
+        from .eval.metrics import make_spk_embed_fn
 
-    spk = make_spk_embed_fn(unise.tokenizer.model, unise.tokenizer.variables)
+        if not args.bicodec_ckpt:
+            print("WARNING: --spk-sim without --bicodec-ckpt: SPK-SIM will "
+                  "be computed with RANDOM ECAPA weights and is meaningless",
+                  file=sys.stderr)
+        spk = make_spk_embed_fn(unise.tokenizer.model,
+                                unise.tokenizer.variables)
+    else:
+        print("note: SPK-SIM skipped (pass --bicodec-ckpt for converted "
+              "speaker weights, or --spk-sim to force)", file=sys.stderr)
     stats = evaluate(unise, cfg, rng=jax.random.PRNGKey(args.seed),
                      spk_embed_fn=spk)
     print(json.dumps(stats))
@@ -423,6 +460,8 @@ def main(argv=None):
     t3.add_argument("--ckpt", default=None,
                     help="LM weights (orbax dir or torch ckpt); omitting "
                          "runs RANDOM weights with a loud warning")
+    t3.add_argument("--bicodec-ckpt", default=None,
+                    help="converted BiCodec weights (safetensors or .pt)")
     t3.add_argument("--sample", action="store_true")
     t3.add_argument("--seed", type=int, default=0)
     t3.set_defaults(fn=cmd_enhance)
@@ -452,6 +491,11 @@ def main(argv=None):
     t4.add_argument("--enroll-dir", default=None)
     t4.add_argument("--mode", choices=["se", "tse", "ss"], default="se")
     t4.add_argument("--ckpt", default=None)
+    t4.add_argument("--bicodec-ckpt", default=None,
+                    help="converted BiCodec weights (safetensors or .pt); "
+                         "enables a meaningful SPK-SIM")
+    t4.add_argument("--spk-sim", action="store_true",
+                    help="force SPK-SIM even with random speaker weights")
     t4.add_argument("--save-enhanced", default=None)
     t4.add_argument("--max-items", type=int, default=None)
     t4.add_argument("--seed", type=int, default=0)

@@ -282,13 +282,21 @@ class DevicePrefetcher:
         stop = object()
 
         def producer():
-            for batch in self.iterator:
-                q.put(self._stage(batch))
-            q.put(stop)
+            # Any error (iterator or device_put) must reach the consumer —
+            # a dead producer with no sentinel would hang training forever
+            # on q.get().
+            try:
+                for batch in self.iterator:
+                    q.put(self._stage(batch))
+                q.put(stop)
+            except BaseException as e:  # noqa: BLE001 — re-raised in __iter__
+                q.put(e)
 
         threading.Thread(target=producer, daemon=True).start()
         while True:
             item = q.get()
             if item is stop:
                 return
+            if isinstance(item, BaseException):
+                raise item
             yield item

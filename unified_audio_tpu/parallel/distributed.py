@@ -64,13 +64,23 @@ def make_hybrid_mesh(ici: Dict[str, int],
     if int(np.prod(dcn_shape)) == 1:
         arr = mesh_utils.create_device_mesh(ici_shape, devices=devices)
     else:
-        try:
+        # create_hybrid_device_mesh needs per-device slice placement; on a
+        # single-slice topology (CPU/dev boxes, one-slice TPUs) that
+        # attribute is absent and only the DCN placement optimization is
+        # lost — the axis algebra still applies. Detect up front instead of
+        # swallowing arbitrary errors, and say so when falling back.
+        has_slices = all(
+            getattr(d, "slice_index", None) is not None for d in devices)
+        if has_slices:
             arr = mesh_utils.create_hybrid_device_mesh(
                 ici_shape, dcn_shape, devices=devices)
-        except Exception:
-            # single-slice topology (no slice_index on devices): the axis
-            # algebra still applies, only the DCN placement optimization
-            # does not — fall back to a plain mesh of the merged shape
+        else:
+            import warnings
+            warnings.warn(
+                "make_hybrid_mesh: devices expose no slice_index — building "
+                "a placement-unaware mesh; the dcn axes will NOT be aligned "
+                "to slice boundaries (fine on one slice, a performance bug "
+                "on a real multi-slice pod)", stacklevel=2)
             arr = mesh_utils.create_device_mesh(merged, devices=devices)
     # collapse the paired (dcn, ici) factors of shared names into one axis
     return Mesh(arr.reshape(merged), axis_names=tuple(names))

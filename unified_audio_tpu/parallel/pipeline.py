@@ -21,7 +21,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 
 def _leading_axis_specs(tree, axis: str):
@@ -73,7 +73,7 @@ def gpipe(
         mesh=mesh,
         in_specs=(param_specs, P()) + bcast_specs,
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     def run(local_params, xs, *bargs):
         stage = jax.lax.axis_index(axis)

@@ -21,7 +21,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..nn.transformer import apply_rope, rope_cos_sin
 
@@ -60,7 +60,7 @@ def llama_sequence_parallel_forward(
         mesh=mesh,
         in_specs=(P(), P(None, axis, None)),
         out_specs=P(None, axis, None),
-        check_rep=False,
+        check_vma=False,
     )
     def run(params, x_local):
         sl = x_local.shape[1]

@@ -577,6 +577,9 @@ class ContinuousBatchingEngine:
         False if the uid is not currently in a slot. No device sync; the
         in-graph phase flips lazily at the next admission over that slot —
         until then the slot decodes into discarded state."""
+        # drop any prestaged device arrays for a not-yet-admitted uid so a
+        # long-lived engine doesn't accumulate bucket-padded buffers
+        self._staged.pop(uid, None)
         for s in range(self.num_slots):
             if self._uids[s] == uid:
                 self.allocator.release(self._slot_blocks[s])
@@ -667,7 +670,11 @@ class ContinuousBatchingEngine:
         steps, at most log2(poll_interval)+1 distinct compiled step
         programs, and the device->host sync happens only at completion
         points — every sync on a remote-attached chip is a ~25 ms round
-        trip."""
+        trip.
+
+        ``poll_interval`` is floored to the nearest power of two (256 -> 256,
+        100 -> 64) so every dispatch size is a reused compiled program; the
+        effective value is reported once via stats()["poll_interval"]."""
         pending = list(requests)
         results: Dict[int, Result] = {}
         # ONE key-data fetch for the whole run; all per-request keys derive
@@ -677,7 +684,18 @@ class ContinuousBatchingEngine:
                 np.asarray(jax.random.key_data(rng), np.uint32))
         # power-of-two cap keeps the set of compiled step programs bounded
         poll_interval = 1 << (max(int(poll_interval), 1).bit_length() - 1)
+        self._stats["poll_interval"] = poll_interval
         i = 0
+        try:
+            return self._run_inner(pending, results, rng, poll_interval, i)
+        finally:
+            # staged arrays for requests that were never admitted (error
+            # paths, pool-too-small aborts) must not outlive the run
+            self._staged = {
+                u: v for u, v in self._staged.items()
+                if any(self._uids[s] == u for s in range(self.num_slots))}
+
+    def _run_inner(self, pending, results, rng, poll_interval, i):
         while True:
             if pending:
                 # displacing admissions: finished slots are known host-side
