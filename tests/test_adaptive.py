@@ -68,7 +68,8 @@ class TestDegroup:
 class TestAdaptiveHCodec:
     def test_roundtrip(self, rng):
         cfg = AdaptiveConfig(base=small10(), similarity_threshold=0.5,
-                             max_group_len=4, bottleneck_layers=1)
+                             max_group_len=4, bottleneck_layers=1,
+                             aggregator_layers=1)
         m = AdaptiveHCodec(cfg)
         L = 640 * 8
         wav = jnp.asarray(rng.standard_normal((1, L, 1)).astype(np.float32))
@@ -93,7 +94,8 @@ class TestAdaptiveHCodec:
 
     def test_token_rate_adaptive(self, rng):
         cfg = AdaptiveConfig(base=small10(), similarity_threshold=0.99,
-                             max_group_len=8, bottleneck_layers=1)
+                             max_group_len=8, bottleneck_layers=1,
+                             aggregator_layers=1)
         m = AdaptiveHCodec(cfg)
         L = 640 * 8
         rngs = {"params": jax.random.PRNGKey(0), "quant": jax.random.PRNGKey(1)}
@@ -118,7 +120,7 @@ class TestThresholdModes:
     def _model(self, rng, mode="fixed", **kw):
         cfg = AdaptiveConfig(base=small10(), similarity_threshold=0.5,
                              max_group_len=8, bottleneck_layers=1,
-                             threshold_mode=mode, **kw)
+                             aggregator_layers=1, threshold_mode=mode, **kw)
         m = AdaptiveHCodec(cfg)
         L = 640 * 8
         wav = jnp.asarray(rng.standard_normal((1, L, 1)).astype(np.float32))
@@ -159,8 +161,13 @@ class TestThresholdModes:
         assert len(rates) > 1  # different draws -> different rates
 
     def test_projected_bottleneck_used(self, rng):
+        """The decode path runs the Mimi bottleneck transformer
+        (reference-weight-compatible layout: layer_scale, in_proj, linears
+        under bottleneck/transformer/layers)."""
         m, variables, wav, feat = self._model(rng)
         flat = jax.tree_util.tree_leaves_with_path(variables["params"])
         names = {"/".join(str(k.key) for k in p) for p, _ in flat}
-        assert any("bottleneck/core/layers" in n for n in names)
-        assert any("bottleneck/proj_in" in n for n in names)
+        assert any("bottleneck/transformer/layers" in n for n in names)
+        assert any("layer_scale_1" in n for n in names)
+        assert any(
+            n.endswith("in_proj/kernel") and "bottleneck" in n for n in names)

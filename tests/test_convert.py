@@ -379,3 +379,38 @@ class TestCustomLlamaConverter:
             np.asarray(loaded["params"]["adapter"]["kernel"]),
             np.asarray(params["params"]["adapter"]["kernel"]), atol=1e-6,
         )
+
+
+class TestHCodec15Converter:
+    def test_roundtrip_and_runs(self, rng):
+        """convert_hcodec15(export(init)) is forward-identical (SEANet +
+        aggregators + mimi bottleneck + RVQ mapping)."""
+        from unified_audio_tpu.models.hcodec.adaptive import (
+            AdaptiveConfig, AdaptiveHCodec)
+        from unified_audio_tpu.utils.convert_hcodec import (
+            convert_hcodec15, export_hcodec15_state_dict)
+        from tests.test_hcodec import small10
+
+        cfg = AdaptiveConfig(base=small10(), similarity_threshold=0.5,
+                             max_group_len=4, bottleneck_layers=1,
+                             aggregator_layers=1)
+        m = AdaptiveHCodec(cfg)
+        L = 640 * 8
+        wav = jnp.asarray(rng.standard_normal((1, L, 1)).astype(np.float32))
+        feat = jnp.asarray(rng.standard_normal(
+            (1, L // 320, cfg.base.feat_dim)).astype(np.float32))
+        variables = m.init(
+            {"params": jax.random.PRNGKey(0), "quant": jax.random.PRNGKey(1)},
+            wav, feat, train=False)
+        sd = export_hcodec15_state_dict(variables, cfg)
+        assert any(k.startswith("semantic_aggregator.transformer") for k in sd)
+        assert any(k.startswith("bottleneck_transformer") for k in sd)
+        back = convert_hcodec15(sd, cfg)
+
+        ac1, s1 = m.apply(variables, wav, feat, method="encode")
+        ac2, s2 = m.apply(back, wav, feat, method="encode")
+        np.testing.assert_array_equal(np.asarray(ac1), np.asarray(ac2))
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+        r1 = m.apply(variables, ac1, s1, method="decode")
+        r2 = m.apply(back, ac1, s1, method="decode")
+        np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-5)

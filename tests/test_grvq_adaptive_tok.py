@@ -57,7 +57,7 @@ class TestAdaptiveTokenizer:
 
         cfg = AdaptiveConfig(
             base=small10(), similarity_threshold=0.5, max_group_len=4,
-            bottleneck_layers=1,
+            bottleneck_layers=1, aggregator_layers=1,
         )
         tok = AdaptiveHCodecTokenizer.from_random(
             jax.random.PRNGKey(0), cfg, tiny_ssl_cfg(32)

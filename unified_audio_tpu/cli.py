@@ -269,21 +269,73 @@ def cmd_codec(args):
     wav = _prepare_wav(wav, fs, sr)
 
     if args.model == "flexicodec":
-        from .models.hcodec.flexicodec import FlexiCodec
+        from .models.hcodec.flexicodec import (
+            FlexiCodec, FlexiCodecConfig, fbank_semantic)
 
-        model = FlexiCodec()
+        cfg = FlexiCodecConfig(sample_rate=TARGET_SR)
+        model = FlexiCodec(cfg)
+        x = jnp.asarray(wav)
+        # SenseVoice is not in this image: the semantic stream comes from
+        # the log-fbank fallback (documented in flexicodec.py); swap in
+        # models/ssl teacher_features for an SSL teacher
+        sem = fbank_semantic(x, sample_rate=TARGET_SR, out_dim=cfg.ssl_dim)
         if args.ckpt:
-            sys.exit("error: flexicodec has no torch-checkpoint converter; "
-                     "train natively and load orbax params")
-        print("WARNING: random weights — reconstruction is not meaningful",
-              file=sys.stderr)
-        variables = model.init(
-            {"params": jax.random.PRNGKey(0), "quant": jax.random.PRNGKey(1)},
-            jnp.zeros((1, 4000)), train=False,
-        )
-        ac, sem = model.apply(variables, jnp.asarray(wav), method="encode")
-        rec = np.asarray(model.apply(variables, ac, sem, method="decode"))[0]
+            import torch
+
+            from .utils.convert_hcodec import convert_flexicodec
+
+            sd = torch.load(args.ckpt, map_location="cpu",
+                            weights_only=False) \
+                if not str(args.ckpt).endswith(".safetensors") else None
+            if sd is None:
+                from safetensors.torch import load_file
+
+                sd = load_file(args.ckpt)
+            sd = sd.get("state_dict", sd) if isinstance(sd, dict) else sd
+            variables = convert_flexicodec(sd, cfg)
+            print(f"converted FlexiCodec weights from {args.ckpt}",
+                  file=sys.stderr)
+        else:
+            print("WARNING: random weights — reconstruction is not "
+                  "meaningful", file=sys.stderr)
+            variables = model.init(jax.random.PRNGKey(0), x, sem,
+                                   train=False)
+        ac, semc = model.apply(variables, x, sem, method="encode")
+        rec = np.asarray(
+            model.apply(variables, ac, semc, method="decode"))[0]
         rate = float(ac.shape[1]) / (wav.shape[-1] / TARGET_SR)
+    elif args.model == "hcodec15":
+        from .models.hcodec.adaptive import adaptive15_config
+        from .models.hcodec.adaptive_tokenizer import AdaptiveHCodecTokenizer
+        from .utils.convert_hcodec import convert_hcodec15
+
+        cfg = adaptive15_config()
+        if args.ckpt:
+            import torch
+
+            from .models.ssl import wav2vec2 as ssl_mod
+
+            sd = torch.load(args.ckpt, map_location="cpu", weights_only=False)
+            sd = sd.get("state_dict", sd) if isinstance(sd, dict) else sd
+            codec_vars = convert_hcodec15(sd, cfg)
+            rnd = AdaptiveHCodecTokenizer.from_random(
+                jax.random.PRNGKey(0), cfg)
+            tok = AdaptiveHCodecTokenizer(
+                cfg, codec_vars, ssl_mod.wav2vec2_large_xlsr53_config(),
+                rnd.ssl_variables)
+            print(f"converted HCodec-1.5 weights from {args.ckpt} (SSL "
+                  "frontend remains HF-random unless converted separately)",
+                  file=sys.stderr)
+        else:
+            print("WARNING: random weights — reconstruction is not "
+                  "meaningful", file=sys.stderr)
+            tok = AdaptiveHCodecTokenizer.from_random(
+                jax.random.PRNGKey(0), cfg)
+        codes = tok.tokenize(jnp.asarray(wav))
+        ac = codes["acoustic_codes"]
+        rec = np.asarray(tok.detokenize(ac, codes["semantic_codes"]))[0]
+        # realized adaptive rate (groups/s), not the fixed 25 Hz
+        rate = float(np.asarray(codes["token_rate_hz"]).mean())
     else:  # hcodec10 / hcodec20
         from .models.hcodec.codec import hcodec10_config, hcodec20_config
         from .models.hcodec.tokenizer import HCodecTokenizer
@@ -467,7 +519,7 @@ def main(argv=None):
     t3.set_defaults(fn=cmd_enhance)
 
     t5 = sub.add_parser("codec")
-    t5.add_argument("--model", choices=["hcodec10", "hcodec20", "flexicodec"],
+    t5.add_argument("--model", choices=["hcodec10", "hcodec15", "hcodec20", "flexicodec"],
                     default="hcodec10")
     t5.add_argument("--input", required=True)
     t5.add_argument("--output", required=True)

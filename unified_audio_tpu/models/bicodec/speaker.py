@@ -258,11 +258,19 @@ class SpeakerEncoder(nn.Module):
         )
         self.project = nn.Dense(self.out_dim, name="project")
 
+    @staticmethod
+    def _flatten_cf(zq):
+        """(B, T, D) -> (B, D*T) flattened CHANNEL-major: the reference
+        reshapes the channel-first zq (B, D, T) (speaker_encoder.py:99,115),
+        so the project weights are laid out d-major — reference-golden
+        tested (tests/test_reference_golden.py)."""
+        return jnp.swapaxes(zq, 1, 2).reshape(zq.shape[0], -1)
+
     def __call__(self, mels, train: bool = False):
         x_vector, latent = self.speaker_encoder(mels, train)
         x = self.perceiver_sampler(latent)  # (B, 32, latent_dim)
         zq, _ = self.quantizer(x)
-        d_vector = self.project(zq.reshape(zq.shape[0], -1))
+        d_vector = self.project(self._flatten_cf(zq))
         return x_vector, d_vector
 
     def tokenize(self, mels):
@@ -273,7 +281,7 @@ class SpeakerEncoder(nn.Module):
 
     def detokenize(self, indices):
         zq = self.quantizer.get_output_from_indices(indices)
-        return self.project(zq.reshape(zq.shape[0], -1))
+        return self.project(self._flatten_cf(zq))
 
 
 # ---------------------------------------------------------------------------

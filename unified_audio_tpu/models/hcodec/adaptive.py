@@ -10,9 +10,10 @@ Dynamic shapes redesigned for XLA (SURVEY §7 "hard parts"):
   map; the number of groups is data-dependent but everything is computed at
   the fixed maximum G = T with padding groups masked.
 * Aggregation: the reference interleaves learned query tokens into the frame
-  stream and runs a streaming transformer (mimi/transformer.py:701-826).
-  Here each group's query cross-attends to exactly its member frames through a
-  (G, T) segment mask — same function, static shapes, one batched attention.
+  stream and runs a Mimi transformer (mimi/transformer.py:701-826). The same
+  architecture is kept weight-for-weight (nn/mimi.py) but the interleaved
+  buffer is a STATIC T+G scatter with invalid tail positions masked out of
+  attention — reference-golden tested (tests/test_reference_golden.py).
 * De-aggregation: instead of per-item repeat_interleave, a gather
   ``out[b, t] = groups[b, group_ids[b, t]]``.
 * Token-length injection (codec_adaptive.py:68-80): the duration of each group
@@ -28,8 +29,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ...nn.blocks import SEANetEncoder
-from ...nn.streaming import ProjectedStreamingTransformer
-from ...nn.transformer import NEG_INF, RMSNorm, Transformer
+from ...nn.mimi import MimiProjectedTransformer, MimiTransformer
 from ...ops.quant import ResidualVQ
 from .codec import CodecDecoder10, HCodecConfig, hcodec10_config
 from .semantic import SemanticDecoder, SemanticEncoder
@@ -104,51 +104,75 @@ def extract_length(codes: jnp.ndarray, codebook_size: int):
 
 
 class QueryTokenAggregator(nn.Module):
-    """Per-group aggregation: group queries (initialized from segment means +
-    a learned query embedding) cross-attend to their member frames, then a
-    small self-attention stack refines the group sequence."""
+    """Reference-weight-compatible aggregator
+    (mimi/transformer.py:701-826 QueryTokenAggregator).
+
+    The reference interleaves one query token after each group's last frame
+    and runs the whole (T + nG)-long sequence through a Mimi transformer
+    (causal=False -> FULL attention), then gathers the outputs at the query
+    positions. Queries are initialized from group means plus a learned
+    ``query_embedding`` (use_mean_pooling_init=True, query=True — the
+    shipped config).
+
+    Static-shape redesign: the interleaved buffer is fixed at T + G
+    (G = T max groups); valid tokens occupy positions [0, T + nG) exactly as
+    in the unpadded reference, and the tail padding is EXCLUDED from
+    attention via ``key_valid`` (the reference instead lets its batch
+    padding attend — "Assumes transformer handles zero-padding",
+    transformer.py:815 — so for padded multi-item batches the reference's
+    own outputs are contaminated by pad queries; masking is the correct
+    semantics and coincides exactly at batch 1 / equal lengths, which is
+    what the reference-goldens pin)."""
 
     dim: int
     num_heads: int = 8
     num_layers: int = 2
+    dim_feedforward: int = 2048
+    context: int = 16  # causal-mask knob only; causal=False here
 
     @nn.compact
     def __call__(self, frames, group_ids):
         b, t, d = frames.shape
-        g = t  # max groups
+        g = t  # static max groups
         onehot = jax.nn.one_hot(group_ids, g, dtype=frames.dtype)  # (B, T, G)
         counts = jnp.sum(onehot, axis=1)  # (B, G)
+        valid_g = counts > 0
+        ng = jnp.sum(valid_g.astype(jnp.int32), axis=1)  # (B,)
         means = jnp.einsum("btg,btd->bgd", onehot, frames) / jnp.maximum(
             counts[..., None], 1.0
         )
-        query_emb = self.param("query", nn.initializers.normal(0.02), (d,))
-        q_in = means + query_emb
+        # reference stores (1, in_out_dim, 1); ours is the (D,) vector
+        query_emb = self.param(
+            "query_embedding", nn.initializers.normal(1.0), (d,))
+        queries = means + query_emb
 
-        # cross-attention restricted to group membership
-        h = self.num_heads
-        hd = d // h
-        q = nn.Dense(d, name="q_proj")(RMSNorm(d, name="q_norm")(q_in))
-        k = nn.Dense(d, name="k_proj")(frames)
-        v = nn.Dense(d, name="v_proj")(frames)
-        q = q.reshape(b, g, h, hd)
-        k = k.reshape(b, t, h, hd)
-        v = v.reshape(b, t, h, hd)
-        mask = jnp.where(jnp.swapaxes(onehot, 1, 2) > 0, 0.0, NEG_INF)  # (B,G,T)
-        logits = jnp.einsum("bghd,bthd->bhgt", q, k) * hd**-0.5
-        logits = logits + mask[:, None]
-        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
-            frames.dtype
-        )
-        attended = jnp.einsum("bhgt,bthd->bghd", probs, v).reshape(b, g, d)
-        out = q_in + nn.Dense(d, use_bias=False, name="o_proj")(attended)
+        # interleave destinations (transformer.py:772-782):
+        #   frame t -> t + (#groups ended before t) = t + group_id[t]
+        #   query g -> last_frame(g) + g + 1 = cumsum(counts)[g] + g
+        s2 = t + g
+        frame_dest = jnp.arange(t)[None] + group_ids  # (B, T)
+        cum = jnp.cumsum(counts.astype(jnp.int32), axis=1)  # (B, G)
+        query_dest = jnp.where(
+            valid_g, cum + jnp.arange(g)[None] - 1 + 1, s2 - 1)
+        seq = jnp.zeros((b, s2, d), frames.dtype)
+        bidx = jnp.arange(b)[:, None]
+        seq = seq.at[bidx, frame_dest].set(frames)
+        # padding queries land on slot s2-1 harmlessly (masked from
+        # attention and never gathered)
+        seq = seq.at[bidx, query_dest].set(
+            jnp.where(valid_g[..., None], queries, 0.0))
 
-        # refine the (masked) group sequence
-        out = Transformer(
-            hidden_size=d, intermediate_size=d * 4, num_heads=h,
-            num_layers=self.num_layers, causal=False, name="refine",
-        )(out)
-        valid = (counts > 0)[..., None]
-        return out * valid, counts.astype(jnp.int32)
+        key_valid = jnp.arange(s2)[None] < (t + ng)[:, None]  # (B, S2)
+        out = MimiTransformer(
+            d_model=d, num_layers=self.num_layers, num_heads=self.num_heads,
+            dim_feedforward=self.dim_feedforward, causal=False,
+            context=self.context, layer_scale=0.01, name="transformer",
+        )(seq, key_valid)
+
+        gathered = jnp.take_along_axis(
+            out, jnp.minimum(query_dest, s2 - 1)[..., None], axis=1)
+        gathered = gathered * valid_g[..., None]
+        return gathered, counts.astype(jnp.int32)
 
 
 @dataclass(frozen=True)
@@ -165,6 +189,12 @@ class AdaptiveConfig:
     threshold_lower: float = 0.8
     threshold_upper: float = 1.0
     max_group_len: int = 8
+    # aggregators (config_adaptive_v3.yaml:76-93): 32-layer Mimi stacks,
+    # d 512 == in_out_dim, ff 2048, context 16, mean-pooling query init
+    aggregator_layers: int = 32
+    aggregator_heads: int = 8
+    aggregator_ff: int = 2048
+    aggregator_context: int = 16
     # decode bottleneck: reference wires a 32-layer ProjectedTransformer
     # (d_model 1024, ff 2048, heads 8, context 16 frames,
     # config_adaptive_v3.yaml:96-111 + mimi/transformer.py:828) between the
@@ -172,7 +202,27 @@ class AdaptiveConfig:
     bottleneck_layers: int = 32
     bottleneck_dim: int = 0  # 0 -> latent_dim * 2 (the reference's d_model)
     bottleneck_heads: int = 8
+    bottleneck_ff: int = 2048
     bottleneck_context: int = 16
+
+
+def adaptive15_config(**kw) -> AdaptiveConfig:
+    """The shipped HCodec-1.5 adaptive model (conf/config_adaptive_v3.yaml):
+    XLSR 1024-d features, 1024-d decoder (intermediate 2304), 32-layer
+    aggregators + bottleneck, fixed threshold 0.7."""
+    base = dict(
+        base=hcodec10_config(
+            version="1.5", feat_dim=1024, semantic_encode_channels=1024,
+            decoder_dim=1024, decoder_intermediate_dim=2304,
+            seanet_ratios=(2, 4, 5, 8),
+        ),
+        similarity_threshold=0.7,
+        threshold_lower=0.7,
+        threshold_upper=1.0,
+        max_group_len=8,
+    )
+    base.update(kw)
+    return AdaptiveConfig(**base)
 
 
 class AdaptiveHCodec(nn.Module):
@@ -189,7 +239,7 @@ class AdaptiveHCodec(nn.Module):
         cfg = self.config.base
         self.encoder = SEANetEncoder(
             dimension=cfg.latent_dim, n_filters=cfg.seanet_filters,
-            causal=cfg.causal, name="encoder",
+            ratios=cfg.seanet_ratios, causal=cfg.causal, name="encoder",
         )
         self.semantic_encoder = SemanticEncoder(
             input_channels=cfg.feat_dim,
@@ -207,12 +257,17 @@ class AdaptiveHCodec(nn.Module):
             strides=cfg.semantic_strides,
             name="semantic_decoder",
         )
+        agg_kwargs = dict(
+            dim=cfg.latent_dim,
+            num_heads=self.config.aggregator_heads,
+            num_layers=self.config.aggregator_layers,
+            dim_feedforward=self.config.aggregator_ff,
+            context=self.config.aggregator_context,
+        )
         self.acoustic_aggregator = QueryTokenAggregator(
-            cfg.latent_dim, name="acoustic_aggregator"
-        )
+            **agg_kwargs, name="acoustic_aggregator")
         self.semantic_aggregator = QueryTokenAggregator(
-            cfg.latent_dim, name="semantic_aggregator"
-        )
+            **agg_kwargs, name="semantic_aggregator")
         vq_kwargs = dict(
             dim=cfg.latent_dim, codebook_size=cfg.codebook_size,
             num_quantizers=cfg.num_quantizers,
@@ -221,12 +276,14 @@ class AdaptiveHCodec(nn.Module):
         )
         self.quantizer = ResidualVQ(**vq_kwargs, name="quantizer")
         self.semantic_quantizer = ResidualVQ(**vq_kwargs, name="semantic_quantizer")
-        self.bottleneck = ProjectedStreamingTransformer(
-            dim=self.config.bottleneck_dim or cfg.latent_dim * 2,
+        self.bottleneck = MimiProjectedTransformer(
+            d_model=self.config.bottleneck_dim or cfg.latent_dim * 2,
             input_dim=cfg.latent_dim * 2,
             output_dim=cfg.latent_dim * 2,
             num_layers=self.config.bottleneck_layers,
             num_heads=self.config.bottleneck_heads,
+            dim_feedforward=self.config.bottleneck_ff,
+            causal=False,
             context=self.config.bottleneck_context,
             name="bottleneck",
         )

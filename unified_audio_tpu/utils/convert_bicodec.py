@@ -249,7 +249,15 @@ def convert_bicodec(state_dict: Dict, cfg) -> Dict:
     params["postnet"] = _feat_decoder(sd, "postnet", cfg, conditioned=False,
                                       ratios=(1, 1))
     params["decoder"] = _wave_generator(sd, "decoder", cfg)
-    return {"params": params, "batch_stats": batch_stats}
+    # FVQ EMA cluster stats (training state, but required by the "codebook"
+    # collection and meaningful when resuming training from a torch ckpt);
+    # zeros when the source dict lacks the buffer (inference-only exports)
+    cs = (_t(sd["quantizer.cluster_size"]).reshape(-1)
+          if "quantizer.cluster_size" in sd
+          else np.zeros((cfg.codebook_size,), np.float32))
+    codebook = {"quantizer": {"cluster_size": cs}}
+    return {"params": params, "batch_stats": batch_stats,
+            "codebook": codebook}
 
 
 # ---------------------------------------------------------------------------
@@ -345,10 +353,14 @@ def _inv_batchnorm(scale_bias, stats, prefix, out):
 
 
 def export_bicodec_state_dict(variables, cfg) -> Dict[str, np.ndarray]:
-    """Our {"params", "batch_stats"} -> torch-style flat state dict."""
+    """Our {"params", "batch_stats"[, "codebook"]} -> torch-style flat
+    state dict."""
     p = variables["params"]
     bs = variables.get("batch_stats", {})
     out: Dict[str, np.ndarray] = {}
+    if "codebook" in variables:
+        out["quantizer.cluster_size"] = np.asarray(
+            variables["codebook"]["quantizer"]["cluster_size"])
 
     # encoder
     enc = p["encoder"]
