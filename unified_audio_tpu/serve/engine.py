@@ -85,6 +85,14 @@ def _pick_bucket(n: int, buckets: Sequence[int], what: str) -> int:
 class ContinuousBatchingEngine:
     """Slot-pool continuous batching over a paged KV block pool."""
 
+    @property
+    def pool(self):
+        return self._pool_ref.pool
+
+    @pool.setter
+    def pool(self, value):
+        self._pool_ref.pool = value
+
     def __init__(
         self,
         sft: LLMSFT,
@@ -97,6 +105,8 @@ class ContinuousBatchingEngine:
         mix_buckets: Sequence[int] = (64, 128, 256, 320),
         enroll_buckets: Optional[Sequence[int]] = None,
         max_top_k: int = 256,
+        pool_ref=None,
+        allocator=None,
         dtype=None,
     ):
         self.sft = sft
@@ -126,8 +136,19 @@ class ContinuousBatchingEngine:
             num_blocks = 1 + num_slots * self.max_blocks  # +1: trash block
         self.num_blocks = num_blocks
 
-        self.pool = init_pool(cfg, num_blocks, block_size, dtype=self.kv_dtype)
-        self.allocator = BlockAllocator(num_blocks)
+        if pool_ref is not None:
+            # shared physical pool (serve/paged.py PoolRef): blocks are
+            # partitioned between engines by the shared allocator
+            assert allocator is not None, "shared pool needs its allocator"
+            self._pool_ref = pool_ref
+            self.allocator = allocator
+            self.num_blocks = num_blocks = pool_ref.pool["k"].shape[1]
+        else:
+            from .paged import PoolRef
+
+            self._pool_ref = PoolRef(
+                init_pool(cfg, num_blocks, block_size, dtype=self.kv_dtype))
+            self.allocator = allocator or BlockAllocator(num_blocks)
         self._slot_blocks: List[List[int]] = [[] for _ in range(num_slots)]
         self._uids: List[Optional[int]] = [None] * num_slots
         self._phase_cache: Optional[np.ndarray] = None

@@ -80,14 +80,29 @@ def paged_decode_ids(cfg: LlamaConfig, lm_params, pool, tables, index, active,
     gate_up matmuls, fp32 attention logits+softmax) so the paged path is
     numerically identical to the dense static cache.
     """
-    layers = lm_params["backbone"]["layers"]
+    emb_table = lm_params["codec_embedding"]["embedding"]
+    x = emb_table[ids][:, None].astype(pool["k"].dtype)  # (S, 1, D)
+    hidden, pool = paged_decode_embeds(
+        cfg, lm_params["backbone"], pool, tables, index, active, x,
+        block_size)
+    logits = (hidden @ lm_params["output_head"]["kernel"]).astype(jnp.float32)
+    return logits, pool
+
+
+def paged_decode_embeds(cfg: LlamaConfig, backbone_params, pool, tables,
+                        index, active, x, block_size: int):
+    """Embedding-level paged decode step: the shared backbone machinery
+    behind paged_decode_ids, factored out so OTHER head/embedding schemes
+    (UniTok's K summed code embeddings + K parallel heads,
+    models/unitok/model.py) serve from the same block pool.
+
+    x (S, 1, D) input embeddings -> (hidden (S, D) post-norm, new pool).
+    """
+    layers = backbone_params["layers"]
     bs = block_size
     s_slots, max_blocks = tables.shape
     num_blocks = pool["k"].shape[1]
     h, hd = cfg.num_heads, cfg.head_dim
-
-    emb_table = lm_params["codec_embedding"]["embedding"]
-    x = emb_table[ids][:, None].astype(pool["k"].dtype)  # (S, 1, D)
 
     cos, sin = rope_cos_sin(index[:, None], cfg.head_dim, cfg.rope_theta)
 
@@ -154,9 +169,8 @@ def paged_decode_ids(cfg: LlamaConfig, lm_params, pool, tables, index, active,
     (x, new_k, new_v, _), _ = jax.lax.scan(
         layer_body, (x, pool["k"], pool["v"], jnp.int32(0)), layers
     )
-    x = _rms(x, lm_params["backbone"]["norm"]["weight"])
-    logits = (x[:, 0] @ lm_params["output_head"]["kernel"]).astype(jnp.float32)
-    return logits, {"k": new_k, "v": new_v}
+    x = _rms(x, backbone_params["norm"]["weight"])
+    return x[:, 0], {"k": new_k, "v": new_v}
 
 
 def scatter_prefill(pool, tables, cache_k, cache_v, block_size: int):
@@ -174,3 +188,16 @@ def scatter_prefill(pool, tables, cache_k, cache_v, block_size: int):
     new_k = pool["k"].at[:, blk, off].set(cache_k.astype(pool["k"].dtype))
     new_v = pool["v"].at[:, blk, off].set(cache_v.astype(pool["v"].dtype))
     return {"k": new_k, "v": new_v}
+
+
+class PoolRef:
+    """Shared handle to one physical KV block pool.
+
+    Engines that accept a PoolRef read and write the pool THROUGH the
+    handle, so donation-based buffer replacement in one engine's step is
+    immediately visible to the other — the mechanism behind serving mixed
+    UniSE + UniTok traffic from a single pool (one BlockAllocator partitions
+    the physical blocks between them)."""
+
+    def __init__(self, pool):
+        self.pool = pool

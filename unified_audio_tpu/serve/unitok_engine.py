@@ -1,0 +1,470 @@
+"""Continuous-batched UniTok serving over the SAME paged KV block pool.
+
+The UniTok delay-pattern LM (models/unitok/model.py) decodes K codebook
+streams per step through a Llama backbone of the same geometry as the UniSE
+LM, so its KV blocks are pool-compatible: this engine reuses
+serve/paged.py's block pool / allocator / paged decode machinery, and a pool
++ allocator pair can be SHARED between a ContinuousBatchingEngine (UniSE)
+and a UniTokEngine — "multitask heads share one batched token pipeline"
+(SURVEY §2.3) extended to serving time: mixed UniSE + UniTok traffic draws
+blocks from one pool (tests/test_unitok_engine.py pins both engines'
+outputs against their solo generates while interleaved on a shared pool).
+
+Differences from the UniSE engine's phase machine, absorbed here:
+* every step emits K tokens (one per codebook) — input embedding is the SUM
+  of K code embeddings and the output is K parallel heads, evaluated as one
+  stacked (K, D, V) einsum;
+* the two-phase global/semantic masking is replaced by the MusicGen-style
+  delay window: codebook k may emit real codes only for step in
+  [k, k + num_frames), PAD outside (model.py:156-229);
+* decode length is num_frames + K - 1 (fixed, deterministic scheduling).
+
+The scheduler is the simple reap-then-admit loop (power-of-two step
+decomposition, sync at completion points); the UniSE engine keeps the
+fully-overlapped displacing scheduler — its sustained-throughput headline is
+measured there.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.lm.llama import init_cache, sample_logits_vec
+from ..models.unitok.delay import undo_delay
+from ..models.unitok.model import UniTokLM
+from .paged import (TRASH_BLOCK, BlockAllocator, init_pool,
+                    paged_decode_embeds, scatter_prefill)
+
+
+def _unused():  # placeholder removed below
+    pass
+
+NEG = -1e9
+
+
+@dataclass
+class UniTokRequest:
+    task_id: int
+    num_frames: int
+    caption_feats: Optional[np.ndarray] = None  # (Tc, text_dim)
+    ref_feats: Optional[np.ndarray] = None      # (Tr, audio_dim)
+    input_feats: Optional[np.ndarray] = None    # (Ti, audio_dim)
+    temperature: float = 0.8
+    top_k: int = 50
+    top_p: float = 0.95
+    do_sample: bool = True
+    uid: int = 0
+
+
+@dataclass
+class UniTokResult:
+    uid: int
+    codes: np.ndarray  # (num_frames, K)
+
+
+def _bucket(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"segment length {n} exceeds largest bucket "
+                     f"{buckets[-1]}")
+
+
+class UniTokEngine:
+    """Slot-pool continuous batching for the delay-pattern LM."""
+
+    @property
+    def pool(self):
+        return self._pool_ref.pool
+
+    @pool.setter
+    def pool(self, value):
+        self._pool_ref.pool = value
+
+    def __init__(
+        self,
+        lm: UniTokLM,
+        params,
+        num_slots: int = 8,
+        block_size: int = 64,
+        num_blocks: Optional[int] = None,
+        max_frames: int = 256,
+        feat_buckets: Sequence[int] = (64, 128, 256),
+        max_top_k: int = 256,
+        pool_ref=None,
+        allocator: Optional[BlockAllocator] = None,
+        dtype=None,
+    ):
+        self.lm = lm
+        cfg = lm.cfg
+        self.cfg = cfg
+        self.K = cfg.num_codebooks
+        if dtype is not None:
+            params = jax.tree_util.tree_map(
+                lambda p: p.astype(dtype)
+                if jnp.issubdtype(p.dtype, jnp.floating) else p, params)
+        self.params = params
+        p = params["params"]
+        self.kv_dtype = p["code_embed_0"]["embedding"].dtype
+        # stacked (K, Vl, D) embeddings and (K, D, Vl) heads: one gather /
+        # one einsum per step instead of K
+        self._emb = jnp.stack(
+            [p[f"code_embed_{k}"]["embedding"] for k in range(self.K)])
+        self._heads = jnp.stack(
+            [p[f"head_{k}"]["kernel"] for k in range(self.K)])
+        self.num_slots = num_slots
+        self.block_size = block_size
+        self.max_frames = max_frames
+        self.feat_buckets = tuple(sorted(feat_buckets))
+        self.max_top_k = max_top_k
+        self.max_steps = max_frames + self.K - 1
+
+        max_prompt = 5 + 3 * self.feat_buckets[-1]
+        max_tokens = max_prompt + self.max_steps + 1
+        self.max_blocks = math.ceil(max_tokens / block_size)
+        lcfg = lm.cfg  # geometry comes from the Llama sub-config
+        from ..models.lm.llama import LlamaConfig
+
+        self.lcfg = LlamaConfig(
+            hidden_size=cfg.hidden_size, num_layers=cfg.num_layers,
+            num_heads=cfg.num_heads,
+            max_position_embeddings=cfg.max_positions)
+        if pool_ref is not None:
+            assert allocator is not None, "shared pool needs its allocator"
+            self._pool_ref = pool_ref
+            self.allocator = allocator
+            self.num_blocks = pool_ref.pool["k"].shape[1]
+        else:
+            if num_blocks is None:
+                num_blocks = 1 + num_slots * self.max_blocks
+            self.num_blocks = num_blocks
+            from .paged import PoolRef
+
+            self._pool_ref = PoolRef(init_pool(
+                self.lcfg, num_blocks, block_size, dtype=self.kv_dtype))
+            self.allocator = allocator or BlockAllocator(num_blocks)
+
+        s = num_slots
+        self.state = {
+            "active": jnp.zeros((s,), jnp.bool_),
+            "step": jnp.zeros((s,), jnp.int32),
+            "num_frames": jnp.zeros((s,), jnp.int32),
+            "last_ids": jnp.zeros((s, self.K), jnp.int32),
+            "rng": jnp.zeros((s, 2), jnp.uint32),
+            "do_sample": jnp.zeros((s,), jnp.bool_),
+            "temperature": jnp.ones((s,), jnp.float32),
+            "top_k": jnp.ones((s,), jnp.int32),
+            "top_p": jnp.ones((s,), jnp.float32),
+            "index": jnp.zeros((s,), jnp.int32),
+            "block_tables": jnp.full((s, self.max_blocks), TRASH_BLOCK,
+                                     jnp.int32),
+            "out": jnp.zeros((s, self.max_steps, self.K), jnp.int32),
+        }
+        self._slot_blocks: List[List[int]] = [[] for _ in range(s)]
+        self._uids: List[Optional[int]] = [None] * s
+        self._remaining: List[int] = [0] * s
+        self._results: Dict[int, UniTokResult] = {}
+
+        vocab_ids = jnp.arange(cfg.layer_vocab)
+        code_mask = jnp.where(vocab_ids < cfg.codebook_size, 0.0, NEG)
+        pad_only = jnp.where(vocab_ids == cfg.pad, 0.0, NEG)
+        kv_dtype, bs = self.kv_dtype, block_size
+
+        @partial(jax.jit,
+                 static_argnames=("has_cap", "has_ref", "has_inp"),
+                 donate_argnums=(1, 2))
+        def _prefill_insert(params, pool, state, slot_ids,
+                            tables, task_ids, cap, cap_len, ref, ref_len,
+                            inp, inp_len, nframes, rngs, do_samples, temps,
+                            top_ks, top_ps, has_cap, has_ref, has_inp):
+            b_wave = task_ids.shape[0]
+            prompt = self.lm.apply(
+                params, task_ids[0],
+                cap if has_cap else None,
+                ref if has_ref else None,
+                inp if has_inp else None, b_wave,
+                method="build_prompt",
+            )  # (B, La, D) — but per-slot task ids vary: fix below
+            # per-slot task embedding (build_prompt used row 0's task id)
+            task_emb = self.lm.apply(
+                params, task_ids.reshape(b_wave, 1),
+                method=lambda m, t: m.task_embedding(t))
+            prompt = prompt.at[:, :1].set(task_emb)
+
+            # validity over prompt positions: [task][C][cap pad...][R][ref
+            # pad...][I][inp pad...][S] — compact valid tokens left (stable)
+            segs = [jnp.ones((b_wave, 1), bool)]
+            if has_cap:
+                segs.append(jnp.ones((b_wave, 1), bool))
+                segs.append(jnp.arange(cap.shape[1])[None]
+                            < cap_len[:, None])
+            if has_ref:
+                segs.append(jnp.ones((b_wave, 1), bool))
+                segs.append(jnp.arange(ref.shape[1])[None]
+                            < ref_len[:, None])
+            if has_inp:
+                segs.append(jnp.ones((b_wave, 1), bool))
+                segs.append(jnp.arange(inp.shape[1])[None]
+                            < inp_len[:, None])
+            segs.append(jnp.ones((b_wave, 1), bool))
+            valid = jnp.concatenate(segs, axis=1)  # (B, La)
+            order = jnp.argsort(~valid, axis=1, stable=True)
+            prompt = jnp.take_along_axis(prompt, order[..., None], axis=1)
+            true_len = jnp.sum(valid.astype(jnp.int32), axis=1)
+
+            la = prompt.shape[1]
+            cache = init_cache(self.lcfg, b_wave, la, dtype=kv_dtype)
+            _, cache = self.lm.apply(
+                params, prompt.astype(kv_dtype), cache,
+                method=lambda m, pr, c: m.backbone.prefill(pr, c))
+            pool = scatter_prefill(pool, tables, cache["k"], cache["v"], bs)
+
+            st = dict(state)
+
+            def upd(name, vals):
+                st[name] = st[name].at[slot_ids].set(vals, mode="drop")
+
+            upd("active", jnp.ones((b_wave,), bool))
+            upd("step", jnp.zeros((b_wave,), jnp.int32))
+            upd("num_frames", nframes)
+            upd("last_ids",
+                jnp.full((b_wave, self.K), self.cfg.bos, jnp.int32))
+            upd("rng", rngs)
+            upd("do_sample", do_samples)
+            upd("temperature", temps)
+            upd("top_k", top_ks)
+            upd("top_p", top_ps)
+            upd("index", true_len)
+            upd("block_tables", tables)
+            upd("out", jnp.zeros((b_wave, self.max_steps, self.K),
+                                 jnp.int32))
+            return pool, st
+
+        def _step_body(backbone_params, emb, heads, pool, state):
+            s = self.num_slots
+            active = state["active"]
+            ids = state["last_ids"]  # (S, K)
+            # summed code embeddings: emb (K, Vl, D)
+            x = jnp.sum(
+                jax.vmap(lambda e, i: e[i], in_axes=(0, 1))(emb, ids),
+                axis=0,
+            )[:, None].astype(pool["k"].dtype)  # (S, 1, D)
+            hidden, pool = paged_decode_embeds(
+                self.lcfg, backbone_params, pool, state["block_tables"],
+                state["index"], active, x, bs)
+            logits = jnp.einsum(
+                "sd,kdv->skv", hidden, heads.astype(hidden.dtype)
+            ).astype(jnp.float32)  # (S, K, V)
+
+            step = state["step"]  # (S,)
+            karange = jnp.arange(self.K)[None]  # (1, K)
+            in_range = ((step[:, None] >= karange)
+                        & (step[:, None] < karange
+                           + state["num_frames"][:, None]))  # (S, K)
+            mask = jnp.where(in_range[..., None], code_mask[None, None],
+                             pad_only[None, None])
+            logits = logits + mask
+
+            rngs = jax.vmap(jax.random.split, in_axes=(0, None))(
+                state["rng"], self.K + 1)  # (S, K+1, 2)
+            next_rngs = rngs[:, 0]
+            step_keys = rngs[:, 1:].reshape(s * self.K, 2)
+            rep = lambda a: jnp.repeat(a, self.K, axis=0)
+            tokens = sample_logits_vec(
+                step_keys, logits.reshape(s * self.K, -1),
+                rep(state["temperature"]), rep(state["top_k"]),
+                rep(state["top_p"]), rep(state["do_sample"]),
+                max_top_k=self.max_top_k,
+            ).reshape(s, self.K)
+
+            rows = jnp.arange(s)
+            w_idx = jnp.minimum(step, self.max_steps - 1)
+            out = state["out"].at[rows, w_idx].set(
+                jnp.where(active[:, None], tokens, state["out"][rows, w_idx]))
+
+            steps_next = step + 1
+            finished = active & (steps_next
+                                 == state["num_frames"] + self.K - 1)
+            new_state = dict(state)
+            new_state["active"] = active & ~finished
+            new_state["step"] = jnp.where(active, steps_next, step)
+            new_state["last_ids"] = jnp.where(active[:, None], tokens, ids)
+            new_state["rng"] = next_rngs
+            new_state["index"] = jnp.where(active, state["index"] + 1,
+                                           state["index"])
+            new_state["out"] = out
+            return pool, new_state
+
+        @partial(jax.jit, static_argnames=("n",), donate_argnums=(3, 4))
+        def _step_n(backbone_params, emb, heads, pool, state, n=1):
+            def body(carry, _):
+                pool, state = carry
+                return _step_body(backbone_params, emb, heads, pool,
+                                  state), None
+
+            (pool, state), _ = jax.lax.scan(body, (pool, state), None,
+                                            length=n)
+            return pool, state
+
+        self._prefill_insert = _prefill_insert
+        self._step_n = _step_n
+
+    # -- scheduling ---------------------------------------------------------
+
+    def _signature(self, r: UniTokRequest):
+        def seg(x):
+            return None if x is None else _bucket(len(x), self.feat_buckets)
+
+        return (seg(r.caption_feats), seg(r.ref_feats), seg(r.input_feats))
+
+    def _free_slots(self) -> List[int]:
+        return [s for s in range(self.num_slots) if self._uids[s] is None]
+
+    def admit_wave(self, reqs: List[UniTokRequest], rng) -> List[int]:
+        """Admit a same-signature wave into free slots; returns uids."""
+        if not reqs:
+            return []
+        if not isinstance(rng, np.random.Generator):
+            rng = np.random.default_rng(
+                np.asarray(jax.random.key_data(rng), np.uint32))
+        sig = self._signature(reqs[0])
+        slots = self._free_slots()
+        take = []
+        for r in reqs:
+            if not slots:
+                break
+            if self._signature(r) != sig:
+                continue
+            if r.num_frames > self.max_frames:
+                raise ValueError(
+                    f"num_frames {r.num_frames} > max {self.max_frames}")
+            steps = r.num_frames + self.K - 1
+            # prompt length = 1 task + (sep + bucket per segment) + final sep
+            plen = 1 + sum(1 + b for b in sig if b is not None) + 1
+            need = math.ceil((plen + steps + 1) / self.block_size)
+            blocks = self.allocator.alloc(need)
+            if blocks is None:
+                break
+            s = slots.pop(0)
+            self._slot_blocks[s] = blocks
+            self._uids[s] = r.uid
+            self._remaining[s] = steps
+            take.append((s, r, blocks))
+        if not take:
+            return []
+
+        cap_b, ref_b, inp_b = sig
+        b_wave = len(take)
+
+        def stackseg(get, bukt, dim):
+            if bukt is None:
+                return (jnp.zeros((b_wave, 1, dim), np.float32),
+                        jnp.zeros((b_wave,), jnp.int32))
+            arrs, lens = [], []
+            for _, r, _ in take:
+                x = get(r)
+                pad = np.zeros((bukt, x.shape[-1]), np.float32)
+                pad[: len(x)] = x
+                arrs.append(pad)
+                lens.append(len(x))
+            return (jnp.asarray(np.stack(arrs)),
+                    jnp.asarray(np.asarray(lens, np.int32)))
+
+        cap, cap_len = stackseg(lambda r: r.caption_feats, cap_b,
+                                self.cfg.text_dim)
+        ref, ref_len = stackseg(lambda r: r.ref_feats, ref_b,
+                                self.cfg.audio_dim)
+        inp, inp_len = stackseg(lambda r: r.input_feats, inp_b,
+                                self.cfg.audio_dim)
+        tables = np.full((b_wave, self.max_blocks), TRASH_BLOCK, np.int32)
+        for i, (_, _, blocks) in enumerate(take):
+            tables[i, : len(blocks)] = blocks
+        rngs = np.stack([
+            rng.integers(0, 2**32, size=2, dtype=np.uint32)
+            for _ in take])
+        self.pool, self.state = self._prefill_insert(
+            self.params, self.pool, self.state,
+            jnp.asarray([s for s, _, _ in take], jnp.int32),
+            jnp.asarray(tables),
+            jnp.asarray([r.task_id for _, r, _ in take], jnp.int32),
+            cap, cap_len, ref, ref_len, inp, inp_len,
+            jnp.asarray([r.num_frames for _, r, _ in take], jnp.int32),
+            jnp.asarray(rngs),
+            jnp.asarray([r.do_sample for _, r, _ in take]),
+            jnp.asarray([r.temperature for _, r, _ in take], jnp.float32),
+            jnp.asarray([r.top_k for _, r, _ in take], jnp.int32),
+            jnp.asarray([r.top_p for _, r, _ in take], jnp.float32),
+            has_cap=cap_b is not None, has_ref=ref_b is not None,
+            has_inp=inp_b is not None,
+        )
+        return [r.uid for _, r, _ in take]
+
+    def step(self, n: int = 1) -> None:
+        self.pool, self.state = self._step_n(
+            self.params["params"]["backbone"], self._emb, self._heads,
+            self.pool, self.state, n=n)
+        for s in range(self.num_slots):
+            if self._uids[s] is not None and self._remaining[s] > 0:
+                self._remaining[s] = max(0, self._remaining[s] - n)
+
+    def harvest(self) -> List[UniTokResult]:
+        done = [s for s in range(self.num_slots)
+                if self._uids[s] is not None and self._remaining[s] == 0]
+        if not done:
+            return []
+        outs = np.asarray(self.state["out"][jnp.asarray(done)])
+        nf = np.asarray(self.state["num_frames"][jnp.asarray(done)])
+        results = []
+        for i, s in enumerate(done):
+            steps = int(nf[i]) + self.K - 1
+            delayed = outs[i][None, :steps]  # (1, steps, K)
+            codes = np.asarray(undo_delay(jnp.asarray(delayed)))[0]
+            codes = np.clip(codes, 0, self.cfg.codebook_size - 1)
+            results.append(UniTokResult(self._uids[s], codes))
+            self.allocator.release(self._slot_blocks[s])
+            self._slot_blocks[s] = []
+            self._uids[s] = None
+        return results
+
+    def run(self, requests: List[UniTokRequest], rng,
+            poll_interval: int = 256) -> Dict[int, UniTokResult]:
+        """Drive until all requests complete (deterministic lengths —
+        power-of-two step decomposition to each completion point)."""
+        if not isinstance(rng, np.random.Generator):
+            rng = np.random.default_rng(
+                np.asarray(jax.random.key_data(rng), np.uint32))
+        poll_interval = 1 << (max(int(poll_interval), 1).bit_length() - 1)
+        pending = list(requests)
+        results: Dict[int, UniTokResult] = {}
+        guard = 0
+        while True:
+            for r in self.harvest():
+                results[r.uid] = r
+            if pending:
+                # group by signature; admit the largest same-signature run
+                sig = self._signature(pending[0])
+                wave = [r for r in pending if self._signature(r) == sig]
+                admitted = set(self.admit_wave(wave, rng))
+                pending = [r for r in pending if r.uid not in admitted]
+            active = [self._remaining[s] for s in range(self.num_slots)
+                      if self._uids[s] is not None and self._remaining[s] > 0]
+            if not active:
+                if pending:
+                    raise RuntimeError("pool too small for pending requests")
+                for r in self.harvest():
+                    results[r.uid] = r
+                return results
+            remaining = min(active)
+            while remaining:
+                c = min(poll_interval, 1 << (remaining.bit_length() - 1))
+                self.step(n=c)
+                remaining -= c
+            guard += 1
+            if guard > 100000:
+                raise RuntimeError("engine did not converge")
