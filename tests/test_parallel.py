@@ -406,3 +406,43 @@ class TestShardedServing:
                                    np.asarray(sh_logits), atol=2e-4)
         np.testing.assert_allclose(np.asarray(ref_pool["k"]),
                                    np.asarray(sh_pool["k"]), atol=2e-5)
+
+
+class TestPipelineTrainer:
+    """pp integrated into the TRAINER (SURVEY §2.4): one SFTTrainer step
+    with the backbone pipelined equals the dense step — loss AND updated
+    params (i.e. grads) match."""
+
+    def test_pp_train_step_matches_dense(self, rng):
+        from tests.test_parallel import build_unise  # self-module helper
+
+        key = jax.random.PRNGKey(0)
+        b, t = 8, 6400
+        mix = jnp.asarray(rng.standard_normal((b, t)).astype(np.float32))
+        target = jnp.asarray(rng.standard_normal((b, t)).astype(np.float32))
+
+        unise1 = build_unise(key)
+        tr_plain = SFTTrainer(unise1, optimizer=make_optimizer(
+            warmup_steps=1))
+        loss_plain, _ = tr_plain.train_step("se", None, mix, target)
+
+        unise2 = build_unise(key)
+        pp_mesh = mesh_lib.make_mesh_axes(dp=4, pp=2)  # num_layers=2
+        tr_pp = SFTTrainer(unise2, pp_mesh=pp_mesh, pp_microbatches=2,
+                           optimizer=make_optimizer(warmup_steps=1))
+        loss_pp, _ = tr_pp.train_step("se", None, mix, target)
+
+        np.testing.assert_allclose(loss_plain, loss_pp, rtol=2e-3)
+        # updated params equal -> the pipelined grads equal the dense grads
+        flat1 = jax.tree_util.tree_leaves(tr_plain.params)
+        flat2 = jax.tree_util.tree_leaves(tr_pp.params)
+        for a, b_ in zip(flat1, flat2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=2e-4)
+
+    def test_mesh_and_pp_mesh_exclusive(self, key):
+        unise = build_unise(key)
+        mesh = mesh_lib.make_mesh(tp=2)
+        pp_mesh = mesh_lib.make_mesh_axes(dp=4, pp=2)
+        with pytest.raises(ValueError):
+            SFTTrainer(unise, mesh=mesh, pp_mesh=pp_mesh)

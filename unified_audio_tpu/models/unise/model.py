@@ -124,7 +124,7 @@ class UniSE:
     # --- training (model.py:96-124) ---
 
     def loss_fn(self, params, task: str, enroll, mix, target_wav,
-                frozen=None):
+                frozen=None, sft_forward=None):
         """Single-task loss; tokenization and feature extraction are frozen.
         For 'rtse' the caller passes the interferer as target (model.py:99-102).
 
@@ -132,6 +132,11 @@ class UniSE:
         is traced inside an outer jit (the SPMD train step): the frozen
         weights then enter as program ARGUMENTS. The closure-based path is
         kept for eager/inference use.
+
+        ``sft_forward`` overrides the LM forward
+        ``(params, task_id, enroll_feats, mix_feats, g, s) -> (loss, acc)``
+        — the hook the pipeline-parallel trainer uses
+        (parallel/pipeline.py sft_pipeline_loss).
         """
         if frozen is not None:
             global_tokens, semantic_tokens = self.tokenizer.tokenize_with_vars(
@@ -143,10 +148,10 @@ class UniSE:
             feats = self.extract_semantic_features
         mix_feats = feats(mix)
         enroll_feats = feats(enroll) if enroll is not None else None
-        return self.sft.apply(
-            params, TASK_MAP[task], enroll_feats, mix_feats,
-            global_tokens[:, 0, :], semantic_tokens,
-        )
+        fwd = sft_forward or (lambda p, t, e, m, g, sm:
+                              self.sft.apply(p, t, e, m, g, sm))
+        return fwd(params, TASK_MAP[task], enroll_feats, mix_feats,
+                   global_tokens[:, 0, :], semantic_tokens)
 
     # --- inference flows (model.py:170-291) ---
 

@@ -168,3 +168,50 @@ def llama_pipeline_forward(cfg, layer_params, embeds, mesh,
     stage_fn = make_llama_stage_fn(cfg, mesh.shape[axis])
     return gpipe(stage_fn, layer_params, embeds, mask, cos, sin,
                  mesh=mesh, n_microbatches=n_microbatches, axis=axis)
+
+
+def sft_pipeline_loss(sft, params, task_id, enroll_feats, mix_feats,
+                      global_ids, semantic_ids, mesh, n_microbatches: int,
+                      axis: str = "pp"):
+    """SFT loss with the backbone pipelined over the ``axis`` mesh axis
+    (SURVEY §2.4 pp integrated into training, not just the dryrun).
+
+    Mirrors LLMSFT.__call__ (models/lm/sft.py) exactly — prompt assembly,
+    input/target id layout, final RMSNorm, label-smoothed KL — but routes
+    the layer stack through :func:`llama_pipeline_forward` (differentiable
+    GPipe; grads == dense pinned in tests/test_parallel.py). Used by
+    train.sft_trainer.SFTTrainer(pp_mesh=...).
+    """
+    cfg = sft.cfg
+    b = global_ids.shape[0]
+    g = global_ids.astype(jnp.int32) + cfg.global_offset
+    s = semantic_ids.astype(jnp.int32) + cfg.semantic_offset
+    gsos = jnp.full((b, 1), cfg.global_sos, jnp.int32)
+    ssos = jnp.full((b, 1), cfg.semantic_sos, jnp.int32)
+    seos = jnp.full((b, 1), cfg.semantic_eos, jnp.int32)
+    input_ids = jnp.concatenate([gsos, g, ssos, s], axis=1)
+    target_ids = jnp.concatenate([g, ssos, s, seos], axis=1)
+
+    prompt = sft.apply(params, task_id, enroll_feats, mix_feats,
+                       method="_prompt")
+    code_emb = sft.apply(params, input_ids,
+                         method=lambda m, i: m.lm.embed_codes(i))
+    embeds = jnp.concatenate([prompt, code_emb], axis=1)
+
+    lm_p = params["params"]["lm"]
+    hidden = llama_pipeline_forward(
+        cfg, lm_p["backbone"]["layers"], embeds, mesh, n_microbatches, axis)
+    # final RMSNorm (nn/transformer.py RMSNorm, eps 1e-6)
+    var = jnp.mean(jnp.square(hidden.astype(jnp.float32)), axis=-1,
+                   keepdims=True)
+    hidden = (hidden * jax.lax.rsqrt(var + 1e-6)).astype(hidden.dtype)
+    hidden = hidden * lm_p["backbone"]["norm"]["weight"]
+
+    t = target_ids.shape[-1]
+    hidden = hidden[:, -t:]
+    logits = hidden @ lm_p["output_head"]["kernel"]
+    loss = sft.apply(params, logits, target_ids,
+                     method=lambda m, lg, tg: m.lm.loss_function(lg, tg))
+    acc = jnp.mean(
+        (jnp.argmax(logits, axis=-1) == target_ids).astype(jnp.float32))
+    return loss, acc

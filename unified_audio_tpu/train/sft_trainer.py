@@ -20,9 +20,26 @@ from .optim import make_optimizer
 
 
 class SFTTrainer:
-    def __init__(self, unise: UniSE, mesh=None, optimizer=None):
+    def __init__(self, unise: UniSE, mesh=None, optimizer=None,
+                 pp_mesh=None, pp_microbatches: int = 2):
+        """``pp_mesh``: a mesh with a "pp" axis — the LM backbone then runs
+        through the differentiable GPipe schedule
+        (parallel/pipeline.py sft_pipeline_loss; grads == dense is pinned
+        through the TRAINER in tests/test_parallel.py). Mutually exclusive
+        with ``mesh`` (dp/tp GSPMD)."""
         self.unise = unise
         self.mesh = mesh
+        self.pp_mesh = pp_mesh
+        if mesh is not None and pp_mesh is not None:
+            raise ValueError("pass either mesh (dp/tp) or pp_mesh, not both")
+        sft_forward = None
+        if pp_mesh is not None:
+            from ..parallel.pipeline import sft_pipeline_loss
+
+            sft_forward = lambda p, t, e, m, g, sm: sft_pipeline_loss(
+                self.unise.sft, p, t, e, m, g, sm, pp_mesh,
+                pp_microbatches)
+        self._sft_forward = sft_forward
         self.optimizer = optimizer or make_optimizer()
         self.opt_state = self.optimizer.init(unise.sft_params)
         self.params = unise.sft_params
@@ -50,8 +67,9 @@ class SFTTrainer:
         @partial(jax.jit, static_argnames=("task",), donate_argnums=(0, 1))
         def _train_step(params, opt_state, frozen, task, enroll, mix, target):
             def loss_fn(p):
-                loss, acc = self.unise.loss_fn(p, task, enroll, mix, target,
-                                               frozen=frozen)
+                loss, acc = self.unise.loss_fn(
+                    p, task, enroll, mix, target, frozen=frozen,
+                    sft_forward=self._sft_forward)
                 return loss, acc
 
             (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
