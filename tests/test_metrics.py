@@ -3,6 +3,9 @@ monotonically."""
 import numpy as np
 import pytest
 
+import jax
+import jax.numpy as jnp
+
 from unified_audio_tpu.eval import metrics
 
 
@@ -180,3 +183,120 @@ class TestSpectral:
             speechlike + 0.3 * rng.standard_normal(len(speechlike)).astype(np.float32),
             speechlike,
         ) > 1.0
+
+
+class TestLearnedUTMOS:
+    """eval/utmos.py: UTMOS22 strong-learner architecture + converter."""
+
+    def test_predictor_runs_and_in_range(self, rng):
+        from unified_audio_tpu.eval.utmos import UTMOSConfig, UTMOSPredictor
+        from unified_audio_tpu.models.ssl import wav2vec2 as ssl_mod
+
+        tiny_ssl = ssl_mod.SSLConfig(
+            hidden_size=16, num_layers=2, num_heads=4, intermediate_size=16,
+            conv_dim=(8,) * 7, num_conv_pos_embeddings=16,
+            num_conv_pos_embedding_groups=4)
+        cfg = UTMOSConfig(ssl_dim=16, judge_dim=8, domain_dim=8,
+                          num_judges=5, num_domains=2, blstm_hidden=8,
+                          mlp_hidden=16)
+        pred = UTMOSPredictor.from_random(
+            jax.random.PRNGKey(0), ssl_config=tiny_ssl, cfg=cfg)
+        wav = rng.standard_normal(8000).astype(np.float32) * 0.1
+        s = pred(wav)
+        assert np.isfinite(s)
+
+    def test_converter_roundtrip(self, rng):
+        from unified_audio_tpu.eval.utmos import (
+            UTMOSConfig, UTMOSHead, convert_utmos, export_utmos_state_dict)
+
+        cfg = UTMOSConfig(ssl_dim=16, judge_dim=8, domain_dim=8,
+                          num_judges=5, num_domains=2, blstm_hidden=8,
+                          mlp_hidden=16)
+        head = UTMOSHead(cfg)
+        feats = jnp.asarray(
+            rng.standard_normal((2, 12, 16)).astype(np.float32))
+        variables = head.init(jax.random.PRNGKey(0), feats)
+        sd = export_utmos_state_dict(variables)
+        back = convert_utmos(sd, cfg)
+        s1 = head.apply(variables, feats)
+        s2 = head.apply(back, feats)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                                   atol=1e-6)
+
+    def test_blstm_matches_torch(self, rng):
+        """The BLSTM layout really is torch nn.LSTM(bidirectional=True):
+        converted torch weights give identical outputs."""
+        import torch
+
+        from unified_audio_tpu.eval.utmos import BLSTM
+
+        tl = torch.nn.LSTM(6, 4, batch_first=True, bidirectional=True)
+        tl.eval()
+        x = rng.standard_normal((2, 9, 6)).astype(np.float32)
+        with torch.no_grad():
+            y_t, _ = tl(torch.from_numpy(x))
+        m = BLSTM(4)
+        sd = {f"blstm.{k}": v for k, v in tl.state_dict().items()}
+        from unified_audio_tpu.eval.utmos import convert_utmos  # noqa: F401
+
+        params = {"params": {
+            "w_ih_l0": np.asarray(sd["blstm.weight_ih_l0"]).T,
+            "w_hh_l0": np.asarray(sd["blstm.weight_hh_l0"]).T,
+            "b_ih_l0": np.asarray(sd["blstm.bias_ih_l0"]),
+            "b_hh_l0": np.asarray(sd["blstm.bias_hh_l0"]),
+            "w_ih_l0_rev": np.asarray(sd["blstm.weight_ih_l0_reverse"]).T,
+            "w_hh_l0_rev": np.asarray(sd["blstm.weight_hh_l0_reverse"]).T,
+            "b_ih_l0_rev": np.asarray(sd["blstm.bias_ih_l0_reverse"]),
+            "b_hh_l0_rev": np.asarray(sd["blstm.bias_hh_l0_reverse"]),
+        }}
+        y_j = m.apply(params, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(y_j), y_t.numpy(), atol=2e-6)
+
+    def test_metrics_utmos_variant_switch(self, rng):
+        from unified_audio_tpu.eval import metrics as M
+
+        wav = rng.standard_normal(8000).astype(np.float32) * 0.1
+        score, variant = M.utmos(wav)
+        assert variant == "utmos_proxy" and 1.0 <= score <= 5.0
+
+        class FakePredictor:
+            def __call__(self, w):
+                return 3.25
+
+        score, variant = M.utmos(wav, predictor=FakePredictor())
+        assert variant == "utmos_learned" and score == 3.25
+
+
+class TestPESQSpecCompletion:
+    """Round-3 P.862 additions: utterance time alignment (default ON),
+    Zwicker-table Bark bands, narrowband IRS receive path."""
+
+    def test_alignment_recovers_shifted_identity(self, speechlike):
+        sh = np.concatenate([np.zeros(640, np.float32), speechlike])
+        sh = sh[: len(speechlike)]
+        assert metrics.pesq(sh, speechlike) > 4.3
+        # without the search the same pair scores far worse
+        assert metrics.pesq(sh, speechlike, assume_aligned=True) < 3.0
+
+    def test_monotonic_under_misaligned_gradation(self, speechlike, rng):
+        noise = rng.standard_normal(len(speechlike)).astype(np.float32)
+        scores = []
+        for snr_db in (30.0, 15.0, 5.0):
+            g = 10 ** (-snr_db / 20) * np.std(speechlike) / np.std(noise)
+            deg = speechlike + g * noise
+            deg = np.concatenate([np.zeros(320, np.float32), deg])[
+                : len(speechlike)]
+            scores.append(metrics.pesq(deg, speechlike))
+        assert scores[0] > scores[1] > scores[2], scores
+
+    def test_narrowband_irs_path(self, speechlike):
+        nb = speechlike[::2]  # crude 8 kHz decimation is fine for a smoke
+        s = metrics.pesq(nb, nb, fs=8000)
+        assert s > 4.0  # identity through the IRS filter stays near-perfect
+
+    def test_bark_bands_from_table(self):
+        bank, widths, centers = metrics._bark_filterbank(16000, 512)
+        # half-Bark spacing on the Zwicker axis up to 8 kHz (~21.2 Bark)
+        assert 40 <= bank.shape[0] <= 44
+        np.testing.assert_allclose(widths, 0.5)
+        assert bank.shape[1] == 257

@@ -472,6 +472,31 @@ def cmd_eval(args):
     # SPK-SIM scores through the BiCodec ECAPA x-vector branch — only
     # meaningful with converted speaker weights, so it is gated on
     # --bicodec-ckpt (or forced with --spk-sim, which warns loudly)
+    utmos_pred = None
+    if args.utmos_ckpt:
+        import torch
+
+        from .eval.utmos import UTMOSPredictor, convert_utmos
+        from .models.ssl import wav2vec2 as ssl_mod
+        from .utils.convert import convert_hf_wav2vec2
+
+        blob = torch.load(args.utmos_ckpt, map_location="cpu",
+                          weights_only=False)
+        sd = blob.get("state_dict", blob) if isinstance(blob, dict) else blob
+        pred = UTMOSPredictor.from_random(jax.random.PRNGKey(0))
+        pred.head_variables = convert_utmos(sd, pred.cfg)
+        ssl_keys = {k[len("ssl_model."):]: v for k, v in sd.items()
+                    if k.startswith("ssl_model.")}
+        if ssl_keys:
+            pred.ssl_variables = convert_hf_wav2vec2(
+                ssl_keys, ssl_mod.hubert_base_config())
+            print(f"converted UTMOS head + SSL backbone from "
+                  f"{args.utmos_ckpt}", file=sys.stderr)
+        else:
+            print("WARNING: UTMOS ckpt has no ssl_model.* weights — the "
+                  "SSL backbone stays random; convert it separately",
+                  file=sys.stderr)
+        utmos_pred = pred
     spk = None
     if args.bicodec_ckpt or args.spk_sim:
         from .eval.metrics import make_spk_embed_fn
@@ -486,7 +511,7 @@ def cmd_eval(args):
         print("note: SPK-SIM skipped (pass --bicodec-ckpt for converted "
               "speaker weights, or --spk-sim to force)", file=sys.stderr)
     stats = evaluate(unise, cfg, rng=jax.random.PRNGKey(args.seed),
-                     spk_embed_fn=spk)
+                     spk_embed_fn=spk, utmos_predictor=utmos_pred)
     print(json.dumps(stats))
 
 
@@ -548,6 +573,9 @@ def main(argv=None):
                          "enables a meaningful SPK-SIM")
     t4.add_argument("--spk-sim", action="store_true",
                     help="force SPK-SIM even with random speaker weights")
+    t4.add_argument("--utmos-ckpt", default=None,
+                    help="converted UTMOS checkpoint (torch); switches the "
+                         "MOS column from the proxy to learned UTMOS")
     t4.add_argument("--save-enhanced", default=None)
     t4.add_argument("--max-items", type=int, default=None)
     t4.add_argument("--seed", type=int, default=0)

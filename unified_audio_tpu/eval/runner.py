@@ -57,11 +57,14 @@ def iter_test_dir(cfg: EvalConfig):
 
 
 def evaluate(unise, cfg: EvalConfig, rng=None,
-             spk_embed_fn=None) -> Dict[str, float]:
+             spk_embed_fn=None, utmos_predictor=None) -> Dict[str, float]:
     """Run the task flow over the directory; -> aggregated metrics.
 
     ``spk_embed_fn`` (wav (1,T) -> embedding, e.g. metrics.make_spk_embed_fn)
-    adds the SPK-SIM column of the H-Codec results table."""
+    adds the SPK-SIM column of the H-Codec results table.
+    ``utmos_predictor`` (eval/utmos.UTMOSPredictor with converted weights)
+    switches the MOS column from the proxy to learned UTMOS; the emitted
+    key names the variant that produced it."""
     import jax
 
     rng = rng if rng is not None else jax.random.PRNGKey(0)
@@ -87,11 +90,12 @@ def evaluate(unise, cfg: EvalConfig, rng=None,
         if tgt is not None and cfg.mode in ("se", "tse"):
             ref = tgt[0][: len(est)]
             raw_pesq = M.pesq(est[: len(ref)], ref, fs)
+            mos, mos_variant = M.utmos(est, fs, predictor=utmos_predictor)
             utt = {
                 "stoi": M.stoi(est[: len(ref)], ref, fs),
                 "pesq": raw_pesq,
                 "pesq_mos_lqo": M.pesq_mos_lqo(raw_pesq),
-                "utmos_proxy": M.utmos_proxy(est, fs),
+                mos_variant: mos,
                 "si_snr": M.si_snr(est[: len(ref)], ref),
                 "lsd": M.lsd(est[: len(ref)], ref),
             }
@@ -111,7 +115,8 @@ def evaluate(unise, cfg: EvalConfig, rng=None,
 
 def roundtrip_codec_eval(tokenizer, wav_paths, sample_rate=16000,
                          limit: Optional[int] = None,
-                         spk_embed_fn=None) -> Dict[str, float]:
+                         spk_embed_fn=None,
+                         utmos_predictor=None) -> Dict[str, float]:
     """Codec reconstruction benchmark (the H-Codec table 2 protocol:
     tokenize -> detokenize, score vs the original)."""
     import jax.numpy as jnp
@@ -128,7 +133,7 @@ def roundtrip_codec_eval(tokenizer, wav_paths, sample_rate=16000,
             "stoi": M.stoi(rec[: len(ref)], ref, fs),
             "pesq": raw_pesq,
             "pesq_mos_lqo": M.pesq_mos_lqo(raw_pesq),
-            "utmos_proxy": M.utmos_proxy(rec, fs),
+            **dict([M.utmos(rec, fs, predictor=utmos_predictor)[::-1]]),
             "si_snr": M.si_snr(rec[: len(ref)], ref),
             "mcd": M.mcd(rec[: len(ref)], ref, fs),
         }
