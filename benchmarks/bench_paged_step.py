@@ -17,7 +17,7 @@ import numpy as np
 
 
 def time_steps(cfg, lm_params, pool, tables, index, active, ids, bs,
-               repeats=3):
+               repeats=3, num_active_blocks=None):
     """Per-step DEVICE time: every dispatch to a tunnel-attached chip pays a
     fixed ~25 ms round trip that a single-N timing silently folds into the
     per-step number, so this times two scan lengths and returns the slope
@@ -33,7 +33,8 @@ def time_steps(cfg, lm_params, pool, tables, index, active, ids, bs,
             def body(carry, _):
                 pool, ids = carry
                 logits, pool = paged_decode_ids(
-                    cfg, lm_params, pool, tables, index, active, ids, bs)
+                    cfg, lm_params, pool, tables, index, active, ids, bs,
+                    num_active_blocks=num_active_blocks)
                 return (pool, jnp.argmax(logits, -1).astype(jnp.int32)), None
 
             (pool, ids), _ = jax.lax.scan(body, (pool, ids), None,
@@ -73,12 +74,20 @@ def main():
 
     rng = np.random.default_rng(0)
     results = []
-    for (slots, num_layers, max_blocks, tag) in [
-        (8, 12, 13, "serving shape (engine default)"),
-        (8, 12, 7, "half pool"),
-        (8, 6, 13, "half layers"),
-        (16, 12, 13, "16 slots"),
-        (32, 12, 13, "32 slots"),
+    # (slots, layers, capacity blocks/slot, USED blocks/slot, bound?, tag)
+    # capacity 13/slot is the engine default (sized for the largest legal
+    # request); a typical mixed-task request owns ~5 blocks (~300 tokens).
+    # `bound` replays the engine's bucketed allocation high-water mark —
+    # with the low-first allocator, used blocks pack the pool prefix.
+    for (slots, num_layers, max_blocks, used, bound, tag) in [
+        (8, 12, 13, 13, None, "serving shape (engine default, full)"),
+        (8, 12, 13, 5, None, "8 slots, typical occupancy, UNBOUNDED"),
+        (8, 12, 13, 5, True, "8 slots, typical occupancy, bounded"),
+        (16, 12, 13, 5, None, "16 slots, typical occupancy, UNBOUNDED"),
+        (16, 12, 13, 5, True, "16 slots, typical occupancy, bounded"),
+        (32, 12, 13, 5, None, "32 slots, typical occupancy, UNBOUNDED"),
+        (32, 12, 13, 5, True, "32 slots, typical occupancy, bounded"),
+        (32, 12, 13, 13, True, "32 slots, full occupancy, bounded"),
     ]:
         cfg = LlamaConfig(num_layers=num_layers)
         sft = LLMSFT(cfg, num_tasks=3, feats_dim=768)
@@ -95,21 +104,29 @@ def main():
         bs = 64
         nb = 1 + slots * max_blocks
         pool = init_pool(cfg, nb, bs, dtype=jnp.bfloat16)
-        tables = jnp.asarray(
-            1 + np.arange(slots * max_blocks).reshape(slots, max_blocks),
-            jnp.int32)
-        index = jnp.full((slots,), 520, jnp.int32)
+        # low-first allocation: slot s owns blocks [1 + s*used, 1+(s+1)*used)
+        tables_np = np.full((slots, max_blocks), 0, np.int64)
+        tables_np[:, :used] = 1 + np.arange(slots * used).reshape(slots, used)
+        tables = jnp.asarray(tables_np, jnp.int32)
+        nab = None
+        if bound:
+            hw = 1 + slots * used
+            nab = min(max(-(-hw // 64) * 64, 16), nb)
+        index = jnp.full((slots,), used * bs - 8, jnp.int32)
         active = jnp.ones((slots,), bool)
         ids = jnp.asarray(rng.integers(3, 100, (slots,)), jnp.int32)
 
         dt, dispatch = time_steps(cfg, lm, pool, tables, index, active, ids,
-                                  bs)
-        kv_mb = 2 * nb * bs * cfg.num_heads * cfg.head_dim * 2 * num_layers / 1e6
+                                  bs, num_active_blocks=nab)
+        read_blocks = nab if nab is not None else nb
+        kv_mb = (2 * read_blocks * bs * cfg.num_heads * cfg.head_dim * 2
+                 * num_layers / 1e6)
         w_mb = sum(np.prod(p.shape) for p in
                    jax.tree_util.tree_leaves(lm)) * 2 / 1e6
         rec = {
             "tag": tag, "slots": slots, "layers": num_layers,
-            "pool_blocks": nb, "ms_per_step_device": round(dt * 1e3, 3),
+            "pool_blocks": nb, "read_blocks": int(read_blocks),
+            "ms_per_step_device": round(dt * 1e3, 3),
             "dispatch_overhead_ms": round(dispatch * 1e3, 1),
             "tok_per_sec_ceiling": round(slots / dt, 1),
             "hbm_mb_per_step": round(kv_mb + w_mb, 1),

@@ -89,3 +89,57 @@ class TestServeCLI:
                                    "output": "o.wav"}))
         with pytest.raises(SystemExit):
             cli.main(["serve", "--requests", str(bad)])
+
+
+class TestTrainCodecCLI:
+    def test_trains_on_synthetic_scp(self, tmp_path, rng, capsys):
+        """train-codec runs END TO END on synthetic SCP data: GAN steps
+        execute, JSONL metrics stream, a checkpoint lands on disk."""
+        import yaml
+
+        from unified_audio_tpu import cli
+
+        wavdir = tmp_path / "wavs"
+        wavdir.mkdir()
+        lines = []
+        for i in range(4):
+            w = (0.2 * rng.standard_normal(8000)).astype(np.float32)
+            p = wavdir / f"u{i}.wav"
+            write_wav(p, w, 16000)
+            lines.append(f"u{i} spk{i} {p}")
+        scp = tmp_path / "speech.scp"
+        scp.write_text("\n".join(lines) + "\n")
+
+        cfg = {
+            "model": "hcodec10",
+            "codec": {"latent_dim": 64, "seanet_filters": 4,
+                      "codebook_size": 32, "num_quantizers": 2,
+                      "decoder_dim": 64, "decoder_intermediate_dim": 128,
+                      "decoder_convnext_layers": 2,
+                      "semantic_encode_channels": 64, "feat_dim": 16},
+            "ssl": {"hidden_size": 16, "num_layers": 1, "num_heads": 4,
+                    "intermediate_size": 16, "conv_dim": [8, 8, 8, 8, 8, 8, 8],
+                    "num_conv_pos_embeddings": 16,
+                    "num_conv_pos_embedding_groups": 4},
+            "batch_size": 2,
+            "segment_samples": 3200,
+            "train": {"perceptual_start_step": 1},
+            "dataset": {"domain_scps": {"speech": [str(scp)]},
+                        "samples_per_epoch": 8, "num_workers": 1},
+            "max_epochs": 1,
+            "max_steps": 3,
+            "log_every": 1,
+            "save_every": 2,
+            "ckpt_dir": str(tmp_path / "ck"),
+        }
+        cfg_path = tmp_path / "codec.yaml"
+        cfg_path.write_text(yaml.safe_dump(cfg))
+
+        class A:
+            config = str(cfg_path)
+
+        cli.cmd_train_codec(A())
+        out = capsys.readouterr().out
+        logs = [json.loads(l) for l in out.splitlines() if l.startswith("{")]
+        assert logs and "gen_loss" in logs[0]
+        assert any(p.is_dir() for p in (tmp_path / "ck").iterdir())

@@ -416,3 +416,70 @@ class TestPagedKV:
         assert len(a.free) == 3
         with pytest.raises(RuntimeError):
             a.alloc(5)
+
+
+class TestBoundedPoolRead:
+    """paged_decode with num_active_blocks (the O(allocated)-read bound) is
+    numerically identical to the full-pool read whenever the bound covers
+    every allocated block."""
+
+    def test_bounded_equals_full(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from unified_audio_tpu.models.lm.llama import LlamaConfig
+        from unified_audio_tpu.models.lm.sft import LLMSFT
+        from unified_audio_tpu.serve.paged import (
+            TRASH_BLOCK, init_pool, paged_decode_ids, scatter_prefill)
+
+        cfg = LlamaConfig(global_size=16, semantic_size=32, hidden_size=32,
+                          num_layers=2, num_heads=4)
+        sft = LLMSFT(cfg, feats_dim=8)
+        mix0 = jnp.zeros((1, 4, 8), jnp.float32)
+        variables = sft.init(
+            jax.random.PRNGKey(0), 0, None, mix0,
+            jnp.zeros((1, 4), jnp.int32), jnp.zeros((1, 4), jnp.int32))
+        lm_params = variables["params"]["lm"]
+
+        bs, nb_total, s_slots, mb = 8, 40, 2, 3
+        pool = init_pool(cfg, nb_total, bs)
+        # slots own low blocks 1..6 (low-first allocator invariant)
+        tables = jnp.asarray([[1, 2, 3], [4, 5, 6]], jnp.int32)
+        prompt = jnp.asarray(
+            np.random.default_rng(0).standard_normal(
+                (s_slots, 10, cfg.hidden_size)).astype(np.float32))
+        from unified_audio_tpu.models.lm.llama import init_cache
+
+        cache = init_cache(cfg, s_slots, 10)
+        _, cache = sft.apply(variables, prompt, cache,
+                             method=lambda m, p, c: m.lm.prefill(p, c))
+        pool = scatter_prefill(pool, tables, cache["k"], cache["v"], bs)
+
+        index = jnp.asarray([10, 10], jnp.int32)
+        active = jnp.asarray([True, True])
+        ids = jnp.asarray([3, 4], jnp.int32)
+        full, pool_f = paged_decode_ids(cfg, lm_params, pool, tables, index,
+                                        active, ids, bs)
+        bounded, pool_b = paged_decode_ids(cfg, lm_params, pool, tables,
+                                           index, active, ids, bs,
+                                           num_active_blocks=8)
+        np.testing.assert_allclose(np.asarray(full), np.asarray(bounded),
+                                   atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(pool_f["k"]),
+                                      np.asarray(pool_b["k"]))
+
+    def test_allocator_low_first_high_water(self):
+        from unified_audio_tpu.serve.paged import BlockAllocator
+
+        a = BlockAllocator(64)
+        b1 = a.alloc(8)
+        assert b1 == list(range(1, 9))
+        b2 = a.alloc(4)
+        assert a.high_water() == 13
+        a.release(b1)
+        assert a.high_water() == 13  # b2 still holds 9..12
+        b3 = a.alloc(6)
+        assert max(b3) <= 8  # reuses the freed low blocks first
+        a.release(b2)
+        a.release(b3)
+        assert a.high_water() == 1

@@ -212,8 +212,69 @@ def cmd_train_codec(args):
         codec_cfg, CodecTrainConfig(**cfg.get("train", {})),
         rng=jax.random.PRNGKey(cfg.get("seed", 0)), example_batch=example,
     )
-    print("codec GAN trainer ready; wire a dataset via data.TrainDataIterator "
-          "+ an SSL feature extractor to train", file=sys.stderr)
+    if "dataset" not in cfg:
+        sys.exit("error: config needs a 'dataset' section "
+                 "(data.hcodec_data.DomainWeightedIterator kwargs: "
+                 "domain_scps, batch_size, cut_seconds, ...)")
+
+    from .data.hcodec_data import DomainWeightedIterator
+    from .models.ssl import wav2vec2 as ssl_mod
+    from .ops.dsp import resample
+    from .train.checkpoint import CheckpointManager
+    from .utils.initialization import init_on_cpu
+
+    data = DomainWeightedIterator(
+        sample_rate=codec_cfg.sample_rate,
+        batch_size=b, cut_seconds=t / codec_cfg.sample_rate,
+        **cfg["dataset"])
+    # frozen HuBERT semantic targets (HCodec-1.0/audio_tokenizer.py:35-48;
+    # 2.0 computes them on the 48k->16k resample, audio_tokenizer.py:41,50)
+    # "ssl" config section overrides the frontend size (tiny test stacks)
+    ssl_cfg = (ssl_mod.SSLConfig(**cfg["ssl"]) if "ssl" in cfg
+               else ssl_mod.hubert_base_config())
+    ssl = ssl_mod.Wav2Vec2Model(ssl_cfg)
+    ssl_vars = init_on_cpu(
+        lambda: ssl.init(jax.random.PRNGKey(1),
+                         np.zeros((1, 16320), np.float32)))
+
+    want_frames = t * 50 // codec_cfg.sample_rate
+
+    @jax.jit
+    def feats_fn(ssl_vars, wav16):
+        f = ssl_mod.hubert_features(ssl.apply(ssl_vars, wav16))
+        # SSL conv framing yields ~T/320 +- edge frames; the codec needs
+        # exactly 2 semantic frames per acoustic frame — edge-pad/trim
+        pad = max(want_frames - f.shape[1], 0)  # static under jit
+        f = jnp.pad(f, ((0, 0), (0, pad), (0, 0)), mode="edge")
+        return f[:, :want_frames]
+
+    ckpt = CheckpointManager(cfg.get("ckpt_dir", "./codec_checkpoints"))
+    log_every = cfg.get("log_every", 10)
+    save_every = cfg.get("save_every", 1000)
+    rng_np = np.random.default_rng(cfg.get("seed", 0))
+    print("codec GAN training started", file=sys.stderr)
+    for epoch in range(cfg.get("max_epochs", 100)):
+        for wav, domains in data:
+            wav = jnp.asarray(wav)
+            wav16 = (wav if codec_cfg.sample_rate == 16000
+                     else resample(wav, codec_cfg.sample_rate, 16000))
+            feat = feats_fn(ssl_vars, wav16)
+            step_rng = jax.random.PRNGKey(int(rng_np.integers(2**31)))
+            metrics = trainer.train_step(wav, feat, step_rng)
+            if trainer.step % log_every == 0:
+                print(json.dumps({"step": trainer.step, "epoch": epoch,
+                                  **{k: round(v, 5)
+                                     for k, v in metrics.items()}}),
+                      flush=True)
+            if trainer.step % save_every == 0:
+                ckpt.save(trainer.step, {"gen": trainer.gen_vars,
+                                         "disc": trainer.disc_params})
+            if trainer.step >= cfg.get("max_steps", 1_000_000):
+                break
+        if trainer.step >= cfg.get("max_steps", 1_000_000):
+            break
+    ckpt.save(trainer.step, {"gen": trainer.gen_vars,
+                             "disc": trainer.disc_params})
 
 
 def cmd_enhance(args):

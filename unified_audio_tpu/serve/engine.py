@@ -247,13 +247,13 @@ class ContinuousBatchingEngine:
             upd("out_semantic", jnp.zeros((b_wave, max_semantic), jnp.int32))
             return pool, st, stash
 
-        def _step_body(lm_params, pool, state):
+        def _step_body(lm_params, pool, state, nb):
             phase = state["phase"]
             active = phase != PHASE_DONE
 
             logits, pool = paged_decode_ids(
                 cfg, lm_params, pool, state["block_tables"], state["index"],
-                active, state["last_ids"], bs,
+                active, state["last_ids"], bs, num_active_blocks=nb,
             )  # (S, V) fp32
 
             mask = jnp.where(
@@ -314,13 +314,16 @@ class ContinuousBatchingEngine:
             # into the reserved trash block (paged.py), never into live data
             return pool, new_state
 
-        @partial(jax.jit, static_argnames=("n",), donate_argnums=(1, 2))
-        def _step_n(lm_params, pool, state, n=1):
+        @partial(jax.jit, static_argnames=("n", "nb"),
+                 donate_argnums=(1, 2))
+        def _step_n(lm_params, pool, state, n=1, nb=None):
             """n decode steps for the whole pool as ONE dispatched lax.scan —
-            per-step host round trips dominate on remote-attached chips."""
+            per-step host round trips dominate on remote-attached chips.
+            ``nb`` (static) bounds the attended pool prefix to the bucketed
+            allocation high-water mark (paged.py paged_decode_embeds)."""
             def body(carry, _):
                 pool, state = carry
-                return _step_body(lm_params, pool, state), None
+                return _step_body(lm_params, pool, state, nb), None
 
             (pool, state), _ = jax.lax.scan(body, (pool, state), None,
                                             length=n)
@@ -641,10 +644,20 @@ class ContinuousBatchingEngine:
     def admit(self, req: Request, rng) -> bool:
         return bool(self.admit_many([req], rng))
 
+    def _block_bound(self) -> int:
+        """Bucketed allocation high-water mark: the STATIC prefix bound for
+        the decode read. Power-of-two buckets (capped at the pool size)
+        bound the set of compiled step programs; growing occupancy only
+        recompiles at bucket crossings."""
+        hw = self.allocator.high_water()
+        b = -(-hw // 64) * 64  # 64-block buckets: <=7 step variants at
+        return min(max(b, 16), self.num_blocks)  # default pool sizes
+
     def step(self, n: int = 1):
         lm_params = self.params["params"]["lm"]
         self.pool, self.state = self._step_n(lm_params, self.pool,
-                                             self.state, n=n)
+                                             self.state, n=n,
+                                             nb=self._block_bound())
         self._phase_cache = None
         self._stats["decode_steps"] += n
         self._stats["step_dispatches"] += 1

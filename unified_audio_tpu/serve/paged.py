@@ -26,7 +26,7 @@ Replaces the reference's HF DynamicCache Python decode loop
 """
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -44,22 +44,40 @@ def init_pool(cfg: LlamaConfig, num_blocks: int, block_size: int,
 
 
 class BlockAllocator:
-    """Host-side free-list of physical blocks (block 0 reserved as trash)."""
+    """Host-side free-list of physical blocks (block 0 reserved as trash).
+
+    LOW-FIRST policy (a min-heap): allocated blocks cluster at the bottom of
+    the pool, so the allocation high-water mark tracks the blocks actually
+    in use. ``high_water()`` feeds the decode step's bounded pool read —
+    attention cost becomes O(allocated blocks), not O(pool capacity)
+    (round-2 scaling wall: 0.85 -> 4.46 ms/step as capacity grew 105 -> 417
+    blocks at FIXED occupancy)."""
 
     def __init__(self, num_blocks: int):
+        import heapq
+
+        self._heapq = heapq
         self.free: List[int] = list(range(1, num_blocks))
+        self._heapq.heapify(self.free)
+        self._allocated: set = set()
 
     def alloc(self, n: int) -> List[int]:
         if len(self.free) < n:
             raise RuntimeError(
                 f"KV pool exhausted: need {n} blocks, {len(self.free)} free"
             )
-        out = self.free[:n]
-        del self.free[:n]
+        out = [self._heapq.heappop(self.free) for _ in range(n)]
+        self._allocated.update(out)
         return out
 
     def release(self, blocks: List[int]):
-        self.free.extend(int(b) for b in blocks)
+        for b in blocks:
+            self._heapq.heappush(self.free, int(b))
+            self._allocated.discard(int(b))
+
+    def high_water(self) -> int:
+        """1 + the highest allocated block index (>= 1: trash block)."""
+        return (max(self._allocated) + 1) if self._allocated else 1
 
 
 def _rms(x, weight, eps=1e-6):
@@ -68,7 +86,8 @@ def _rms(x, weight, eps=1e-6):
 
 
 def paged_decode_ids(cfg: LlamaConfig, lm_params, pool, tables, index, active,
-                     ids, block_size: int):
+                     ids, block_size: int,
+                     num_active_blocks: Optional[int] = None):
     """One batched decode step over the paged pool, per-slot cache positions.
 
     lm_params: the CodecLM param subtree (codec_embedding / backbone /
@@ -79,29 +98,46 @@ def paged_decode_ids(cfg: LlamaConfig, lm_params, pool, tables, index, active,
     Math mirrors LlamaBackbone.decode_step_multi exactly (fused qkv /
     gate_up matmuls, fp32 attention logits+softmax) so the paged path is
     numerically identical to the dense static cache.
+
+    ``num_active_blocks`` (STATIC) bounds the attended pool prefix — see
+    paged_decode_embeds.
     """
     emb_table = lm_params["codec_embedding"]["embedding"]
     x = emb_table[ids][:, None].astype(pool["k"].dtype)  # (S, 1, D)
     hidden, pool = paged_decode_embeds(
         cfg, lm_params["backbone"], pool, tables, index, active, x,
-        block_size)
+        block_size, num_active_blocks=num_active_blocks)
     logits = (hidden @ lm_params["output_head"]["kernel"]).astype(jnp.float32)
     return logits, pool
 
 
 def paged_decode_embeds(cfg: LlamaConfig, backbone_params, pool, tables,
-                        index, active, x, block_size: int):
+                        index, active, x, block_size: int,
+                        num_active_blocks: Optional[int] = None):
     """Embedding-level paged decode step: the shared backbone machinery
     behind paged_decode_ids, factored out so OTHER head/embedding schemes
     (UniTok's K summed code embeddings + K parallel heads,
     models/unitok/model.py) serve from the same block pool.
 
     x (S, 1, D) input embeddings -> (hidden (S, D) post-norm, new pool).
+
+    ``num_active_blocks`` (STATIC int) restricts the full-pool attention
+    read to the pool PREFIX [0, num_active_blocks): with the low-first
+    BlockAllocator every allocated block sits below its high-water mark, so
+    passing a (bucketed) high-water bound makes the decode's HBM traffic
+    O(allocated KV) instead of O(pool capacity) while keeping the one-shot
+    contiguous read XLA turns into full-bandwidth HBM streams (the Pallas
+    per-block gather formulation measured DMA-latency-bound twice,
+    ops/pallas/paged_attention.py). KV writes still scatter into the FULL
+    pool, so the bound never corrupts state — a too-small bound only masks
+    out-of-range keys (callers must pass bound >= allocator.high_water()).
     """
     layers = backbone_params["layers"]
     bs = block_size
     s_slots, max_blocks = tables.shape
     num_blocks = pool["k"].shape[1]
+    nb = num_blocks if num_active_blocks is None \
+        else min(int(num_active_blocks), num_blocks)
     h, hd = cfg.num_heads, cfg.head_dim
 
     cos, sin = rope_cos_sin(index[:, None], cfg.head_dim, cfg.rope_theta)
@@ -119,10 +155,11 @@ def paged_decode_embeds(cfg: LlamaConfig, backbone_params, pool, tables,
         mode="drop",
     )
     lmap = lmap.at[:, TRASH_BLOCK].set(-1)
+    lmap = lmap[:, :nb]  # bounded prefix (see docstring)
     key_pos = lmap[:, :, None] * bs + jnp.arange(bs)[None, None]  # (S,NB,BS)
     visible = (lmap[:, :, None] >= 0) & (key_pos <= index[:, None, None])
     mask = jnp.where(visible, 0.0, NEG_INF).reshape(s_slots, 1, 1,
-                                                    num_blocks * bs)
+                                                    nb * bs)
 
     # scatter target: each slot's current (block, offset); inactive slots are
     # redirected to the trash block so stale tables cannot corrupt live data
@@ -149,9 +186,9 @@ def paged_decode_embeds(cfg: LlamaConfig, backbone_params, pool, tables,
         v_pool = v_pool.at[li, blk, off].set(
             v[:, 0].astype(v_pool.dtype), unique_indices=True)
         k_buf = jax.lax.dynamic_index_in_dim(
-            k_pool, li, 0, keepdims=False).reshape(num_blocks * bs, h, hd)
+            k_pool, li, 0, keepdims=False)[:nb].reshape(nb * bs, h, hd)
         v_buf = jax.lax.dynamic_index_in_dim(
-            v_pool, li, 0, keepdims=False).reshape(num_blocks * bs, h, hd)
+            v_pool, li, 0, keepdims=False)[:nb].reshape(nb * bs, h, hd)
 
         logits = jnp.einsum("bqhd,khd->bhqk", q, k_buf).astype(jnp.float32)
         logits = logits * hd**-0.5 + mask

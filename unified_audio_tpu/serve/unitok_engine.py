@@ -246,7 +246,7 @@ class UniTokEngine:
                                  jnp.int32))
             return pool, st
 
-        def _step_body(backbone_params, emb, heads, pool, state):
+        def _step_body(backbone_params, emb, heads, pool, state, nb):
             s = self.num_slots
             active = state["active"]
             ids = state["last_ids"]  # (S, K)
@@ -257,7 +257,7 @@ class UniTokEngine:
             )[:, None].astype(pool["k"].dtype)  # (S, 1, D)
             hidden, pool = paged_decode_embeds(
                 self.lcfg, backbone_params, pool, state["block_tables"],
-                state["index"], active, x, bs)
+                state["index"], active, x, bs, num_active_blocks=nb)
             logits = jnp.einsum(
                 "sd,kdv->skv", hidden, heads.astype(hidden.dtype)
             ).astype(jnp.float32)  # (S, K, V)
@@ -301,12 +301,13 @@ class UniTokEngine:
             new_state["out"] = out
             return pool, new_state
 
-        @partial(jax.jit, static_argnames=("n",), donate_argnums=(3, 4))
-        def _step_n(backbone_params, emb, heads, pool, state, n=1):
+        @partial(jax.jit, static_argnames=("n", "nb"),
+                 donate_argnums=(3, 4))
+        def _step_n(backbone_params, emb, heads, pool, state, n=1, nb=None):
             def body(carry, _):
                 pool, state = carry
                 return _step_body(backbone_params, emb, heads, pool,
-                                  state), None
+                                  state, nb), None
 
             (pool, state), _ = jax.lax.scan(body, (pool, state), None,
                                             length=n)
@@ -348,9 +349,9 @@ class UniTokEngine:
             # prompt length = 1 task + (sep + bucket per segment) + final sep
             plen = 1 + sum(1 + b for b in sig if b is not None) + 1
             need = math.ceil((plen + steps + 1) / self.block_size)
-            blocks = self.allocator.alloc(need)
-            if blocks is None:
+            if need > len(self.allocator.free):
                 break
+            blocks = self.allocator.alloc(need)
             s = slots.pop(0)
             self._slot_blocks[s] = blocks
             self._uids[s] = r.uid
@@ -405,10 +406,17 @@ class UniTokEngine:
         )
         return [r.uid for _, r, _ in take]
 
+    def _block_bound(self) -> int:
+        """Bucketed allocation high-water mark (see engine.py; with a
+        SHARED allocator the bound covers both engines' blocks)."""
+        hw = self.allocator.high_water()
+        b = -(-hw // 64) * 64  # 64-block buckets: <=7 step variants at
+        return min(max(b, 16), self.num_blocks)  # default pool sizes
+
     def step(self, n: int = 1) -> None:
         self.pool, self.state = self._step_n(
             self.params["params"]["backbone"], self._emb, self._heads,
-            self.pool, self.state, n=n)
+            self.pool, self.state, n=n, nb=self._block_bound())
         for s in range(self.num_slots):
             if self._uids[s] is not None and self._remaining[s] > 0:
                 self._remaining[s] = max(0, self._remaining[s] - n)
