@@ -13,6 +13,10 @@ import time
 
 import numpy as np
 
+# serving sweet spot, measured (benchmarks/RESULTS.json paged_step_device):
+# with the Pallas stream kernel 16 slots beats 8 end-to-end
+ENGINE_SLOTS = 16
+
 
 def main():
     import jax
@@ -119,6 +123,38 @@ def main():
     lm_dt = sorted(lm_times)[len(lm_times) // 2]
     unise_tok_s = b * (33 + 250) / lm_dt
 
+    # serving headline: sustained mixed-task tokens/s through the paged
+    # continuous-batching engine (Pallas full-stream flash decode kernel;
+    # the round-3 scaling-wall fix). 128 mixed SE/TSE/rTSE requests.
+    from unified_audio_tpu.serve.engine import (ContinuousBatchingEngine,
+                                                Request)
+
+    num_slots, num_requests = ENGINE_SLOTS, 128
+    eng = ContinuousBatchingEngine(
+        sft, sft_params, num_slots=num_slots, block_size=64,
+        max_global=32, max_semantic=256, mix_buckets=(256,),
+    )
+    erng = np.random.default_rng(0)
+
+    def make_request(uid):
+        task = uid % 3
+        return Request(
+            task_id=task,
+            mix_feats=erng.standard_normal((250, 768)).astype(np.float32),
+            enroll_feats=(erng.standard_normal((250, 768)).astype(np.float32)
+                          if task != 0 else None),
+            global_length=32, semantic_length=250, uid=uid,
+        )
+
+    eng.run([make_request(100_000 + i) for i in range(num_slots)],
+            jax.random.PRNGKey(1))  # warmup: compile prefill waves + steps
+    reqs = [make_request(i) for i in range(num_requests)]
+    t0 = time.perf_counter()
+    results = eng.run(reqs, jax.random.PRNGKey(2))
+    eng_dt = time.perf_counter() - t0
+    assert len(results) == num_requests
+    engine_tok_s = num_requests * (33 + 250) / eng_dt
+
     print(json.dumps({
         "metric": "hcodec10_encode_decode_rtfx",
         "value": round(rtfx, 2),
@@ -127,6 +163,9 @@ def main():
         "platform": platform,
         "extra": {
             "unise_ar_tokens_per_sec_b16_bf16": round(unise_tok_s, 1),
+            "engine_sustained_tokens_per_sec": round(engine_tok_s, 1),
+            "engine_slots": num_slots,
+            "engine_requests": num_requests,
         },
     }))
 

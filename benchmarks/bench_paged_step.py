@@ -17,7 +17,7 @@ import numpy as np
 
 
 def time_steps(cfg, lm_params, pool, tables, index, active, ids, bs,
-               repeats=3, num_active_blocks=None):
+               repeats=3, num_active_blocks=None, use_kernel=False):
     """Per-step DEVICE time: every dispatch to a tunnel-attached chip pays a
     fixed ~25 ms round trip that a single-N timing silently folds into the
     per-step number, so this times two scan lengths and returns the slope
@@ -34,7 +34,8 @@ def time_steps(cfg, lm_params, pool, tables, index, active, ids, bs,
                 pool, ids = carry
                 logits, pool = paged_decode_ids(
                     cfg, lm_params, pool, tables, index, active, ids, bs,
-                    num_active_blocks=num_active_blocks)
+                    num_active_blocks=num_active_blocks,
+                    use_kernel=use_kernel)
                 return (pool, jnp.argmax(logits, -1).astype(jnp.int32)), None
 
             (pool, ids), _ = jax.lax.scan(body, (pool, ids), None,
@@ -79,15 +80,16 @@ def main():
     # request); a typical mixed-task request owns ~5 blocks (~300 tokens).
     # `bound` replays the engine's bucketed allocation high-water mark —
     # with the low-first allocator, used blocks pack the pool prefix.
-    for (slots, num_layers, max_blocks, used, bound, tag) in [
-        (8, 12, 13, 13, None, "serving shape (engine default, full)"),
-        (8, 12, 13, 5, None, "8 slots, typical occupancy, UNBOUNDED"),
-        (8, 12, 13, 5, True, "8 slots, typical occupancy, bounded"),
-        (16, 12, 13, 5, None, "16 slots, typical occupancy, UNBOUNDED"),
-        (16, 12, 13, 5, True, "16 slots, typical occupancy, bounded"),
-        (32, 12, 13, 5, None, "32 slots, typical occupancy, UNBOUNDED"),
-        (32, 12, 13, 5, True, "32 slots, typical occupancy, bounded"),
-        (32, 12, 13, 13, True, "32 slots, full occupancy, bounded"),
+    for (slots, num_layers, max_blocks, used, bound, kern, tag) in [
+        (8, 12, 13, 13, None, False, "serving shape (engine default, full)"),
+        (8, 12, 13, 5, True, False, "8 slots, typical occupancy, bounded"),
+        (8, 12, 13, 5, True, True, "8 slots, typical occupancy, KERNEL"),
+        (16, 12, 13, 5, True, False, "16 slots, typical occupancy, bounded"),
+        (16, 12, 13, 5, True, True, "16 slots, typical occupancy, KERNEL"),
+        (32, 12, 13, 5, True, False, "32 slots, typical occupancy, bounded"),
+        (32, 12, 13, 5, True, True, "32 slots, typical occupancy, KERNEL"),
+        (32, 12, 13, 13, True, False, "32 slots, full occupancy, bounded"),
+        (32, 12, 13, 13, True, True, "32 slots, full occupancy, KERNEL"),
     ]:
         cfg = LlamaConfig(num_layers=num_layers)
         sft = LLMSFT(cfg, num_tasks=3, feats_dim=768)
@@ -117,7 +119,7 @@ def main():
         ids = jnp.asarray(rng.integers(3, 100, (slots,)), jnp.int32)
 
         dt, dispatch = time_steps(cfg, lm, pool, tables, index, active, ids,
-                                  bs, num_active_blocks=nab)
+                                  bs, num_active_blocks=nab, use_kernel=kern)
         read_blocks = nab if nab is not None else nb
         kv_mb = (2 * read_blocks * bs * cfg.num_heads * cfg.head_dim * 2
                  * num_layers / 1e6)
@@ -125,6 +127,7 @@ def main():
                    jax.tree_util.tree_leaves(lm)) * 2 / 1e6
         rec = {
             "tag": tag, "slots": slots, "layers": num_layers,
+            "kernel": kern,
             "pool_blocks": nb, "read_blocks": int(read_blocks),
             "ms_per_step_device": round(dt * 1e3, 3),
             "dispatch_overhead_ms": round(dispatch * 1e3, 1),

@@ -395,7 +395,9 @@ class TestShardedServing:
         mesh = mesh_lib.make_mesh(dp=2, tp=4)
         lm_sh = jax.device_put(lm_params,
                                mesh_lib.param_shardings(lm_params, mesh))
-        head_spec = NamedSharding(mesh, P(None, None, None, "tp", None))
+        # flat (L, NB, BS, H*hd) pool: heads are contiguous column ranges,
+        # so tp-sharding the flat dim == head-sharding (H % tp == 0)
+        head_spec = NamedSharding(mesh, P(None, None, None, "tp"))
         pool_sh = jax.tree_util.tree_map(
             lambda p: jax.device_put(p, head_spec), pool)
 

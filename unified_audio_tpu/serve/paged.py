@@ -39,7 +39,13 @@ TRASH_BLOCK = 0  # physical block 0 is never allocated; inactive slots write her
 
 def init_pool(cfg: LlamaConfig, num_blocks: int, block_size: int,
               dtype=jnp.float32) -> Dict:
-    shape = (cfg.num_layers, num_blocks, block_size, cfg.num_heads, cfg.head_dim)
+    """KV block pool, stored FLAT: (L, NB, BS, H*hd). The flat trailing
+    dims (block_size=64, 512) map to dense bf16 TPU tiles; the 5-D
+    (..., H=8, hd=64) layout forced padded (16, 128) tiles, and the Pallas
+    stream kernel measured 3.8x less HBM bandwidth on its chunk DMAs
+    (ops/pallas/paged_attention.py round-3 notes)."""
+    shape = (cfg.num_layers, num_blocks, block_size,
+             cfg.num_heads * cfg.head_dim)
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
@@ -87,7 +93,8 @@ def _rms(x, weight, eps=1e-6):
 
 def paged_decode_ids(cfg: LlamaConfig, lm_params, pool, tables, index, active,
                      ids, block_size: int,
-                     num_active_blocks: Optional[int] = None):
+                     num_active_blocks: Optional[int] = None,
+                     use_kernel: bool = False):
     """One batched decode step over the paged pool, per-slot cache positions.
 
     lm_params: the CodecLM param subtree (codec_embedding / backbone /
@@ -106,14 +113,16 @@ def paged_decode_ids(cfg: LlamaConfig, lm_params, pool, tables, index, active,
     x = emb_table[ids][:, None].astype(pool["k"].dtype)  # (S, 1, D)
     hidden, pool = paged_decode_embeds(
         cfg, lm_params["backbone"], pool, tables, index, active, x,
-        block_size, num_active_blocks=num_active_blocks)
+        block_size, num_active_blocks=num_active_blocks,
+        use_kernel=use_kernel)
     logits = (hidden @ lm_params["output_head"]["kernel"]).astype(jnp.float32)
     return logits, pool
 
 
 def paged_decode_embeds(cfg: LlamaConfig, backbone_params, pool, tables,
                         index, active, x, block_size: int,
-                        num_active_blocks: Optional[int] = None):
+                        num_active_blocks: Optional[int] = None,
+                        use_kernel: bool = False):
     """Embedding-level paged decode step: the shared backbone machinery
     behind paged_decode_ids, factored out so OTHER head/embedding schemes
     (UniTok's K summed code embeddings + K parallel heads,
@@ -121,16 +130,21 @@ def paged_decode_embeds(cfg: LlamaConfig, backbone_params, pool, tables,
 
     x (S, 1, D) input embeddings -> (hidden (S, D) post-norm, new pool).
 
-    ``num_active_blocks`` (STATIC int) restricts the full-pool attention
-    read to the pool PREFIX [0, num_active_blocks): with the low-first
-    BlockAllocator every allocated block sits below its high-water mark, so
-    passing a (bucketed) high-water bound makes the decode's HBM traffic
-    O(allocated KV) instead of O(pool capacity) while keeping the one-shot
-    contiguous read XLA turns into full-bandwidth HBM streams (the Pallas
-    per-block gather formulation measured DMA-latency-bound twice,
-    ops/pallas/paged_attention.py). KV writes still scatter into the FULL
+    ``num_active_blocks`` (STATIC int) restricts the attention read to the
+    pool PREFIX [0, num_active_blocks): with the low-first BlockAllocator
+    every allocated block sits below its high-water mark, so passing a
+    (bucketed) high-water bound makes the decode's HBM traffic O(allocated
+    KV) instead of O(pool capacity). KV writes still scatter into the FULL
     pool, so the bound never corrupts state — a too-small bound only masks
     out-of-range keys (callers must pass bound >= allocator.high_water()).
+
+    ``use_kernel`` routes the attention through the Pallas full-stream
+    flash-decode kernel (ops/pallas/paged_attention.py
+    paged_flash_decode_stream_flat): the pool prefix streams through VMEM
+    in multi-block chunks at measured ~540 GB/s vs ~140 GB/s for the XLA
+    einsum at 32-slot widths (the XLA path materializes (S, NB*BS) fp32
+    logits per layer). Off-TPU the kernel runs in interpret mode
+    (tests pin kernel == XLA equality).
     """
     layers = backbone_params["layers"]
     bs = block_size
@@ -158,8 +172,15 @@ def paged_decode_embeds(cfg: LlamaConfig, backbone_params, pool, tables,
     lmap = lmap[:, :nb]  # bounded prefix (see docstring)
     key_pos = lmap[:, :, None] * bs + jnp.arange(bs)[None, None]  # (S,NB,BS)
     visible = (lmap[:, :, None] >= 0) & (key_pos <= index[:, None, None])
-    mask = jnp.where(visible, 0.0, NEG_INF).reshape(s_slots, 1, 1,
-                                                    nb * bs)
+    if use_kernel:
+        from ..ops.pallas.paged_attention import paged_flash_decode_stream_flat
+
+        vis_i8 = visible.reshape(s_slots, nb * bs).astype(jnp.int8)
+        interp = jax.default_backend() != "tpu"
+        chunk = next(c for c in (16, 8, 4, 2, 1) if nb % c == 0)
+    else:
+        mask = jnp.where(visible, 0.0, NEG_INF).reshape(s_slots, 1, 1,
+                                                        nb * bs)
 
     # scatter target: each slot's current (block, offset); inactive slots are
     # redirected to the trash block so stale tables cannot corrupt live data
@@ -182,19 +203,30 @@ def paged_decode_embeds(cfg: LlamaConfig, backbone_params, pool, tables,
         q, k = apply_rope(q, k, cos, sin)
 
         k_pool = k_pool.at[li, blk, off].set(
-            k[:, 0].astype(k_pool.dtype), unique_indices=True)
+            k[:, 0].reshape(s_slots, h * hd).astype(k_pool.dtype),
+            unique_indices=True)
         v_pool = v_pool.at[li, blk, off].set(
-            v[:, 0].astype(v_pool.dtype), unique_indices=True)
-        k_buf = jax.lax.dynamic_index_in_dim(
-            k_pool, li, 0, keepdims=False)[:nb].reshape(nb * bs, h, hd)
-        v_buf = jax.lax.dynamic_index_in_dim(
-            v_pool, li, 0, keepdims=False)[:nb].reshape(nb * bs, h, hd)
+            v[:, 0].reshape(s_slots, h * hd).astype(v_pool.dtype),
+            unique_indices=True)
+        if use_kernel:
+            attn = paged_flash_decode_stream_flat(
+                q[:, 0], k_pool, v_pool, vis_i8, li,
+                num_heads=h, chunk_blocks=chunk, num_active_blocks=nb,
+                interpret=interp)  # (S, H, hd), q.dtype (rope promotes to
+            # fp32); cast back so the residual carry dtype is stable
+            attn = attn.reshape(s_slots, 1, h * hd).astype(x.dtype)
+        else:
+            k_buf = jax.lax.dynamic_index_in_dim(
+                k_pool, li, 0, keepdims=False)[:nb].reshape(nb * bs, h, hd)
+            v_buf = jax.lax.dynamic_index_in_dim(
+                v_pool, li, 0, keepdims=False)[:nb].reshape(nb * bs, h, hd)
 
-        logits = jnp.einsum("bqhd,khd->bhqk", q, k_buf).astype(jnp.float32)
-        logits = logits * hd**-0.5 + mask
-        probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-        attn = jnp.einsum("bhqk,khd->bqhd", probs, v_buf)
-        attn = attn.reshape(s_slots, 1, h * hd)
+            logits = jnp.einsum("bqhd,khd->bhqk", q,
+                                k_buf).astype(jnp.float32)
+            logits = logits * hd**-0.5 + mask
+            probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+            attn = jnp.einsum("bhqk,khd->bqhd", probs, v_buf)
+            attn = attn.reshape(s_slots, 1, h * hd)
         x = x + attn @ lp["self_attn"]["o_proj"]["kernel"]
 
         hmlp = _rms(x, lp["post_attention_layernorm"]["weight"])
@@ -215,10 +247,13 @@ def scatter_prefill(pool, tables, cache_k, cache_v, block_size: int):
 
     cache_k/cache_v: (L, B, Lp, H, hd) from LlamaBackbone.prefill;
     tables (B, max_blocks). Position p of row b lands in physical block
-    ``tables[b, p // bs]`` at offset ``p % bs``. Returns the new pool.
+    ``tables[b, p // bs]`` at offset ``p % bs``. Returns the new pool
+    (flat (L, NB, BS, H*hd) layout).
     """
     bs = block_size
-    lp_len = cache_k.shape[2]
+    L, b, lp_len, h, hd = cache_k.shape
+    cache_k = cache_k.reshape(L, b, lp_len, h * hd)
+    cache_v = cache_v.reshape(L, b, lp_len, h * hd)
     pos = jnp.arange(lp_len)
     blk = tables[:, pos // bs]  # (B, Lp)
     off = jnp.broadcast_to(pos % bs, blk.shape)  # (B, Lp)

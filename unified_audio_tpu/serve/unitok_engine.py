@@ -100,6 +100,7 @@ class UniTokEngine:
         pool_ref=None,
         allocator: Optional[BlockAllocator] = None,
         dtype=None,
+        use_flash_kernel: Optional[bool] = None,
     ):
         self.lm = lm
         cfg = lm.cfg
@@ -124,6 +125,9 @@ class UniTokEngine:
         self.feat_buckets = tuple(sorted(feat_buckets))
         self.max_top_k = max_top_k
         self.max_steps = max_frames + self.K - 1
+        if use_flash_kernel is None:
+            use_flash_kernel = jax.default_backend() == "tpu"
+        self.use_flash_kernel = use_flash_kernel
 
         max_prompt = 5 + 3 * self.feat_buckets[-1]
         max_tokens = max_prompt + self.max_steps + 1
@@ -257,7 +261,8 @@ class UniTokEngine:
             )[:, None].astype(pool["k"].dtype)  # (S, 1, D)
             hidden, pool = paged_decode_embeds(
                 self.lcfg, backbone_params, pool, state["block_tables"],
-                state["index"], active, x, bs, num_active_blocks=nb)
+                state["index"], active, x, bs, num_active_blocks=nb,
+                use_kernel=self.use_flash_kernel)
             logits = jnp.einsum(
                 "sd,kdv->skv", hidden, heads.astype(hidden.dtype)
             ).astype(jnp.float32)  # (S, K, V)

@@ -63,10 +63,17 @@ class CodecGANTrainer:
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         k1, k2, k3 = jax.random.split(rng, 3)
         wav, feat = example_batch
-        self.gen_vars = self.codec.init(
-            {"params": k1, "quant": k2}, wav[..., None], feat, train=False
-        )
-        self.disc_params = self.disc.init(k3, wav[..., None])
+        # jitted CPU init + one bulk transfer: eager flax init over a
+        # tunnel-attached device is one round trip PER op (utils.initialization)
+        from ..utils.initialization import init_on_cpu
+
+        wav0 = jnp.zeros(jnp.shape(wav), jnp.float32)
+        feat0 = jnp.zeros(jnp.shape(feat), jnp.float32)
+        self.gen_vars = init_on_cpu(lambda: self.codec.init(
+            {"params": k1, "quant": k2}, wav0[..., None], feat0, train=False
+        ))
+        self.disc_params = init_on_cpu(
+            lambda: self.disc.init(k3, wav0[..., None]))
 
         if mesh is not None:
             rep = lambda tree: jax.device_put(
@@ -85,8 +92,11 @@ class CodecGANTrainer:
             optax.clip_by_global_norm(train_config.grad_clip),
             optax.adamw(train_config.lr),
         )
-        self.gen_opt_state = self.gen_opt.init(self.gen_vars["params"])
-        self.disc_opt_state = self.disc_opt.init(self.disc_params)
+        # one jitted program on the default device (eager optax init is
+        # per-leaf dispatches); params stay put, no host round trips
+        self.gen_opt_state = jax.jit(self.gen_opt.init)(
+            self.gen_vars["params"])
+        self.disc_opt_state = jax.jit(self.disc_opt.init)(self.disc_params)
         self.step = 0
 
         cfg = self.cfg
