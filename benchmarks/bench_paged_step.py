@@ -104,7 +104,8 @@ def main():
             params["params"]["lm"])
 
         bs = 64
-        nb = 1 + slots * max_blocks
+        # engines round capacity to the 64-block bucket granularity
+        nb = -(-(1 + slots * max_blocks) // 64) * 64
         pool = init_pool(cfg, nb, bs, dtype=jnp.bfloat16)
         # low-first allocation: slot s owns blocks [1 + s*used, 1+(s+1)*used)
         tables_np = np.full((slots, max_blocks), 0, np.int64)

@@ -14,9 +14,11 @@ BENCHES = [
     ("unise_se_latency", [sys.executable, "benchmarks/bench_se_latency.py"]),
     ("hcodec20_batched", [sys.executable, "benchmarks/bench_hcodec20.py"]),
     ("engine_mixed_task", [sys.executable, "benchmarks/bench_engine.py",
-                           "8", "64"]),
+                           "16", "128"]),
     ("paged_step_device", [sys.executable, "benchmarks/bench_paged_step.py"]),
     ("sft_train_step", [sys.executable, "benchmarks/bench_train_step.py"]),
+    ("codec_gan_train_step",
+     [sys.executable, "benchmarks/bench_codec_gan_step.py"]),
 ]
 
 

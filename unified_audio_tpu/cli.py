@@ -166,25 +166,33 @@ def cmd_train_unise(args):
     val_batches = cfg.get("val_batches", 16)
     log_every = cfg.get("log_every", 10)
     save_every = cfg.get("save_every", 1000)
-    for epoch in range(cfg.get("max_epochs", 100)):
-        for batch in data:
-            mode, enroll, mix, speech, interf, fs, lens, names = batch
-            target = interf if mode == "rtse" else speech
-            loss, acc = trainer.train_step(mode, enroll, mix, target)
-            if trainer.step % log_every == 0:
-                print(json.dumps({"step": trainer.step, "epoch": epoch,
-                                  "task": mode, "loss": loss, "acc": acc}))
-            if validator is not None and trainer.step % val_every == 0:
-                import itertools
+    # persistent train/val curves (reference: TensorBoardLogger,
+    # UniSE train.py:18) — JSONL beside the checkpoints, stdout echo
+    from .utils.logging import MetricsLogger
 
-                stats = validator.run(
-                    trainer.params,
-                    itertools.islice(iter(val_iter), val_batches),
-                )
-                print(json.dumps({"step": trainer.step, **stats}))
-                ckpt.save(trainer.step, trainer.params)
-            elif trainer.step % save_every == 0:
-                ckpt.save(trainer.step, trainer.params)
+    log_path = cfg.get(
+        "metrics_log",
+        str(Path(cfg.get("ckpt_dir", "./checkpoints")) / "metrics.jsonl"))
+    with MetricsLogger(log_path) as mlog:
+        for epoch in range(cfg.get("max_epochs", 100)):
+            for batch in data:
+                mode, enroll, mix, speech, interf, fs, lens, names = batch
+                target = interf if mode == "rtse" else speech
+                loss, acc = trainer.train_step(mode, enroll, mix, target)
+                if trainer.step % log_every == 0:
+                    mlog.log(trainer.step, epoch=epoch, task=mode,
+                             loss=loss, acc=acc)
+                if validator is not None and trainer.step % val_every == 0:
+                    import itertools
+
+                    stats = validator.run(
+                        trainer.params,
+                        itertools.islice(iter(val_iter), val_batches),
+                    )
+                    mlog.log(trainer.step, **stats)
+                    ckpt.save(trainer.step, trainer.params)
+                elif trainer.step % save_every == 0:
+                    ckpt.save(trainer.step, trainer.params)
 
 
 def cmd_train_codec(args):
@@ -252,27 +260,32 @@ def cmd_train_codec(args):
     log_every = cfg.get("log_every", 10)
     save_every = cfg.get("save_every", 1000)
     rng_np = np.random.default_rng(cfg.get("seed", 0))
+    from .utils.logging import MetricsLogger
+
+    log_path = cfg.get(
+        "metrics_log",
+        str(Path(cfg.get("ckpt_dir", "./codec_checkpoints"))
+            / "metrics.jsonl"))
     print("codec GAN training started", file=sys.stderr)
-    for epoch in range(cfg.get("max_epochs", 100)):
-        for wav, domains in data:
-            wav = jnp.asarray(wav)
-            wav16 = (wav if codec_cfg.sample_rate == 16000
-                     else resample(wav, codec_cfg.sample_rate, 16000))
-            feat = feats_fn(ssl_vars, wav16)
-            step_rng = jax.random.PRNGKey(int(rng_np.integers(2**31)))
-            metrics = trainer.train_step(wav, feat, step_rng)
-            if trainer.step % log_every == 0:
-                print(json.dumps({"step": trainer.step, "epoch": epoch,
-                                  **{k: round(v, 5)
-                                     for k, v in metrics.items()}}),
-                      flush=True)
-            if trainer.step % save_every == 0:
-                ckpt.save(trainer.step, {"gen": trainer.gen_vars,
-                                         "disc": trainer.disc_params})
+    with MetricsLogger(log_path) as mlog:
+        for epoch in range(cfg.get("max_epochs", 100)):
+            for wav, domains in data:
+                wav = jnp.asarray(wav)
+                wav16 = (wav if codec_cfg.sample_rate == 16000
+                         else resample(wav, codec_cfg.sample_rate, 16000))
+                feat = feats_fn(ssl_vars, wav16)
+                step_rng = jax.random.PRNGKey(int(rng_np.integers(2**31)))
+                metrics = trainer.train_step(wav, feat, step_rng)
+                if trainer.step % log_every == 0:
+                    mlog.log(trainer.step, epoch=epoch,
+                             **{k: round(v, 5) for k, v in metrics.items()})
+                if trainer.step % save_every == 0:
+                    ckpt.save(trainer.step, {"gen": trainer.gen_vars,
+                                             "disc": trainer.disc_params})
+                if trainer.step >= cfg.get("max_steps", 1_000_000):
+                    break
             if trainer.step >= cfg.get("max_steps", 1_000_000):
                 break
-        if trainer.step >= cfg.get("max_steps", 1_000_000):
-            break
     ckpt.save(trainer.step, {"gen": trainer.gen_vars,
                              "disc": trainer.disc_params})
 

@@ -141,7 +141,13 @@ class ContinuousBatchingEngine:
         max_tokens = max_prompt + max_global + 1 + max_semantic + 1
         self.max_blocks = math.ceil(max_tokens / block_size)
         if num_blocks is None:
-            num_blocks = 1 + num_slots * self.max_blocks  # +1: trash block
+            # +1 trash block, then rounded to the 64-block bucket
+            # granularity: the decode bound (_block_bound) is then always a
+            # 64-multiple, which the Pallas stream kernel needs to chunk
+            # evenly (chunk*block_size must tile to 128 lanes); the spare
+            # blocks are allocator headroom. An explicit num_blocks is
+            # honored as-is (the kernel raises on incompatible bounds).
+            num_blocks = -(-(1 + num_slots * self.max_blocks) // 64) * 64
         self.num_blocks = num_blocks
 
         if pool_ref is not None:

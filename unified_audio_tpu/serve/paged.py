@@ -177,7 +177,15 @@ def paged_decode_embeds(cfg: LlamaConfig, backbone_params, pool, tables,
 
         vis_i8 = visible.reshape(s_slots, nb * bs).astype(jnp.int8)
         interp = jax.default_backend() != "tpu"
-        chunk = next(c for c in (16, 8, 4, 2, 1) if nb % c == 0)
+        # chunk*block_size must be a 128-lane multiple for the visibility
+        # tile (Mosaic); engines keep pool capacity (and thus every bound)
+        # a 64-block multiple so an even chunk always exists
+        chunk = next((c for c in (16, 8, 4, 2, 1) if nb % c == 0), None)
+        if not interp and (chunk is None or (chunk * bs) % 128):
+            raise ValueError(
+                f"stream kernel needs num_active_blocks ({nb}) divisible "
+                f"by an even chunk with chunk*block_size ({bs}) % 128 == 0; "
+                "size the pool to a 64-block multiple")
     else:
         mask = jnp.where(visible, 0.0, NEG_INF).reshape(s_slots, 1, 1,
                                                         nb * bs)

@@ -146,7 +146,8 @@ class UniTokEngine:
             self.num_blocks = pool_ref.pool["k"].shape[1]
         else:
             if num_blocks is None:
-                num_blocks = 1 + num_slots * self.max_blocks
+                # 64-block bucket granularity (see ContinuousBatchingEngine)
+                num_blocks = -(-(1 + num_slots * self.max_blocks) // 64) * 64
             self.num_blocks = num_blocks
             from .paged import PoolRef
 
