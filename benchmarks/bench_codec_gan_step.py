@@ -52,6 +52,8 @@ def main(batch: int = 8, seconds: float = 3.0):
     )
 
     def run(n):
+        # gen_vars/opt states are DONATED by the jitted steps: thread the
+        # returned pytrees back so the next run never touches dead buffers
         gv, go = trainer.gen_vars, trainer.gen_opt_state
         dp, do = trainer.disc_params, trainer.disc_opt_state
         g_loss = d_loss = None
@@ -60,6 +62,8 @@ def main(batch: int = 8, seconds: float = 3.0):
             gv, go, g_loss, metrics, recon = trainer._gen_step(
                 gv, go, dp, wav, feat, k, True)
             dp, do, d_loss = trainer._disc_step(dp, do, wav, recon)
+        trainer.gen_vars, trainer.gen_opt_state = gv, go
+        trainer.disc_params, trainer.disc_opt_state = dp, do
         return np.asarray(g_loss), np.asarray(d_loss)
 
     print(json.dumps({"stage": "warmup"}), flush=True)
@@ -90,4 +94,4 @@ def main(batch: int = 8, seconds: float = 3.0):
 if __name__ == "__main__":
     import sys
 
-    main(*(int(float(a)) for a in sys.argv[1:2]))
+    main(batch=int(sys.argv[1]) if len(sys.argv) > 1 else 8)

@@ -483,3 +483,48 @@ class TestBoundedPoolRead:
         a.release(b2)
         a.release(b3)
         assert a.high_water() == 1
+
+
+class TestUnifiedWaves:
+    def test_se_and_tse_share_one_wave(self, setup):
+        """With unify_waves (default), an enroll-less request and an
+        enroll-ful request admit in ONE prefill program (se rows ride the
+        with-enroll program, zero enroll compacted out at n_head=1) and
+        both still match their solo raw generates exactly."""
+        cfg, sft, params, rng = setup
+        mix_a = rng.standard_normal((10, 12)).astype(np.float32)
+        mix_b = rng.standard_normal((9, 12)).astype(np.float32)
+        enroll_b = rng.standard_normal((6, 12)).astype(np.float32)
+
+        ref_a = sft.apply(
+            params, 0, None, jnp.asarray(mix_a)[None], jax.random.PRNGKey(9),
+            method="generate", global_length=4, semantic_length=6,
+            do_sample=False)
+        ref_b = sft.apply(
+            params, 1, jnp.asarray(enroll_b)[None], jnp.asarray(mix_b)[None],
+            jax.random.PRNGKey(9), method="generate", global_length=3,
+            semantic_length=8, do_sample=False)
+
+        # single enroll bucket so the enroll-less request lands in the same
+        # (mix, enroll) signature group as the enroll-ful one
+        eng = make_engine(sft, params, enroll_buckets=(10,))
+        assert eng.unify_waves
+        reqs = [
+            Request(task_id=0, mix_feats=mix_a, global_length=4,
+                    semantic_length=6, do_sample=False, uid=1),
+            Request(task_id=1, mix_feats=mix_b, enroll_feats=enroll_b,
+                    global_length=3, semantic_length=8, do_sample=False,
+                    uid=2),
+        ]
+        # same signature group => one wave, one prefill program
+        assert eng._signature(reqs[0]) == eng._signature(reqs[1])
+        results = eng.run(reqs, jax.random.PRNGKey(0))
+        assert eng.stats()["prefill_waves"] == 1
+        np.testing.assert_array_equal(results[1].global_ids,
+                                      np.asarray(ref_a[0][0]))
+        np.testing.assert_array_equal(results[1].semantic_ids,
+                                      np.asarray(ref_a[1][0]))
+        np.testing.assert_array_equal(results[2].global_ids,
+                                      np.asarray(ref_b[0][0]))
+        np.testing.assert_array_equal(results[2].semantic_ids,
+                                      np.asarray(ref_b[1][0]))

@@ -75,6 +75,19 @@ class Result:
     semantic_ids: np.ndarray
 
 
+@jax.jit
+def _scatter_rows(zero, buf, pos, rows):
+    """zero (B, ...), buf (N, ...), pos/rows (B,) -> zero with
+    zero[pos[i]] = buf[rows[i]]; pos entries >= B are dropped (padding).
+    One compiled program per (zero, buf) shape pair — index vectors are
+    always full length, so live-row count never changes the program."""
+    return zero.at[pos].set(buf[rows], mode="drop", unique_indices=True)
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(n - 1, 0).bit_length()
+
+
 def _pick_bucket(n: int, buckets: Sequence[int], what: str) -> int:
     for b in buckets:
         if n <= b:
@@ -109,6 +122,7 @@ class ContinuousBatchingEngine:
         allocator=None,
         dtype=None,
         use_flash_kernel: Optional[bool] = None,
+        unify_waves: bool = True,
     ):
         self.sft = sft
         self.cfg = cfg = sft.cfg
@@ -135,6 +149,13 @@ class ContinuousBatchingEngine:
         if use_flash_kernel is None:
             use_flash_kernel = jax.default_backend() == "tpu"
         self.use_flash_kernel = use_flash_kernel
+        # one admission wave (and ONE prefill program) per mix bucket even
+        # for mixed se/tse/rtse traffic: enroll-less requests ride the
+        # with-enroll program with zero enroll rows that the head-compaction
+        # gather drops (n_head=1). Splitting by enroll presence ran TWO
+        # full-width padded prefills per wave (measured 2x prefill waves on
+        # the mixed-task bench)
+        self.unify_waves = unify_waves
 
         # table width: enough logical blocks for the largest possible request
         max_prompt = 3 + self.enroll_buckets[-1] + self.mix_buckets[-1]
@@ -198,12 +219,17 @@ class ContinuousBatchingEngine:
 
         @partial(jax.jit, static_argnames=("with_enroll",),
                  donate_argnums=(1, 2))
-        def _prefill_insert(params, pool, state, with_enroll, slot_ids,
-                            tables, task_ids, mix_feats, enroll_feats,
-                            n_head, true_total, glens, slens, rngs,
-                            do_samples, temps, top_ks, top_ps):
+        def _prefill_insert(params, pool, state, with_enroll, tables,
+                            mix_feats, enroll_feats, meta_i, rngs, meta_f):
             """Prefill a wave of B prompts and insert them into the pool +
-            state in ONE dispatched program (no per-request host syncs)."""
+            state in ONE dispatched program (no per-request host syncs).
+            Per-row metadata arrives packed (meta_i int32 / rngs uint32 /
+            meta_f fp32 — three transfers, not eleven)."""
+            slot_ids, task_ids, n_head, true_total = (
+                meta_i[:, 0], meta_i[:, 1], meta_i[:, 2], meta_i[:, 3])
+            glens, slens, top_ks = meta_i[:, 4], meta_i[:, 5], meta_i[:, 6]
+            do_samples = meta_i[:, 7] != 0
+            temps, top_ps = meta_f[:, 0], meta_f[:, 1]
             prompt = self.sft.apply(
                 params, task_ids,
                 enroll_feats if with_enroll else None, mix_feats,
@@ -213,7 +239,10 @@ class ContinuousBatchingEngine:
             if with_enroll:
                 # compact real tokens left: enroll pad sits between the
                 # enroll and mix segments; gather real positions contiguous
-                # so RoPE/cache layout matches the unpadded prompt exactly
+                # so RoPE/cache layout matches the unpadded prompt exactly.
+                # n_head = 1 marks an enroll-less row riding a unified wave
+                # (head is the task embedding alone; enroll_sos + zero
+                # enroll are compacted out with the pad)
                 le_b = enroll_feats.shape[1]
                 t = jnp.arange(la)[None]
                 src = jnp.where(t < n_head[:, None], t,
@@ -346,8 +375,9 @@ class ContinuousBatchingEngine:
 
         self._prefill_insert = _prefill_insert
         self._step_n = _step_n
-        # uid -> (mix_dev (mix_b, D), enroll_dev or None): features already
-        # padded to their bucket and resident on device (see prestage())
+        # uid -> ((mix_buf, row), (enroll_buf, row) or None): bucket-padded
+        # features resident on device, referenced as rows of (possibly
+        # wave-wide) staged buffers (see prestage() / _stage_one())
         self._staged: Dict[int, tuple] = {}
         self._zero_rows: Dict[tuple, jax.Array] = {}
         # pipelined harvest (run() fast path): slots whose request finished
@@ -407,41 +437,109 @@ class ContinuousBatchingEngine:
 
     def _signature(self, req: Request):
         mix_b = _pick_bucket(req.mix_feats.shape[0], self.mix_buckets, "mix")
-        enr_b = (_pick_bucket(req.enroll_feats.shape[0], self.enroll_buckets,
-                              "enroll")
-                 if req.enroll_feats is not None else None)
+        if req.enroll_feats is not None:
+            enr_b = _pick_bucket(req.enroll_feats.shape[0],
+                                 self.enroll_buckets, "enroll")
+        elif self.unify_waves:
+            # enroll-less requests join the widest enroll group: their zero
+            # enroll rows are compacted out in-graph (n_head=1), so the only
+            # cost is padded prefill length — far cheaper than a second
+            # full-width prefill program per wave
+            enr_b = self.enroll_buckets[-1]
+        else:
+            enr_b = None
         return mix_b, enr_b
-
-    def _zero_row(self, shape):
-        z = self._zero_rows.get(shape)
-        if z is None:
-            z = self._zero_rows[shape] = jnp.zeros(shape, self.kv_dtype)
-        return z
 
     def _stage_one(self, req: Request):
         """Bucket-pad one request's features and start their host->device
-        transfer (async under jax dispatch)."""
+        transfer (async under jax dispatch). Staged entries are (buffer,
+        row) references — single-row buffers here, wave-wide buffers from
+        :meth:`prestage`."""
         feats_dim = self.sft.feats_dim
         mix_b, enr_b = self._signature(req)
-        mix = np.zeros((mix_b, feats_dim), np.float32)
-        mix[: req.mix_feats.shape[0]] = req.mix_feats
-        mix_dev = jnp.asarray(mix, dtype=self.kv_dtype)
-        enr_dev = None
-        if enr_b is not None:
-            enr = np.zeros((enr_b, feats_dim), np.float32)
-            enr[: req.enroll_feats.shape[0]] = req.enroll_feats
-            enr_dev = jnp.asarray(enr, dtype=self.kv_dtype)
-        return mix_dev, enr_dev
+        dt = np.dtype(self.kv_dtype)  # rows cast on assignment: no extra
+        mix = np.zeros((1, mix_b, feats_dim), dt)  # full-buffer cast pass
+        mix[0, : req.mix_feats.shape[0]] = req.mix_feats
+        mix_ref = (jnp.asarray(mix), 0)
+        enr_ref = None
+        if req.enroll_feats is not None:
+            enr = np.zeros((1, enr_b, feats_dim), dt)
+            enr[0, : req.enroll_feats.shape[0]] = req.enroll_feats
+            enr_ref = (jnp.asarray(enr), 0)
+        return mix_ref, enr_ref
 
     def prestage(self, reqs: List[Request]) -> None:
         """Overlap admissions with decode: start the feature transfers for
         the next wave NOW, while previously dispatched decode chunks are
-        still executing on device. ``admit_many`` picks the staged arrays
-        up and assembles the wave with a device-side stack — by then the
-        bytes are already across the tunnel."""
-        for r in reqs[: self.num_slots]:
-            if r.uid not in self._staged:
-                self._staged[r.uid] = self._stage_one(r)
+        still executing on device. Requests are packed into ONE host buffer
+        (and one transfer) per (mix, enroll) signature — per-request
+        transfers cost ~3 ms of dispatch overhead each on remote-attached
+        chips. ``admit_many`` picks rows out of the staged wave buffers with
+        a device-side gather — by then the bytes are already across the
+        tunnel."""
+        todo = [r for r in reqs[: self.num_slots]
+                if r.uid not in self._staged]
+        if not todo:
+            return
+        groups: Dict[tuple, List[Request]] = {}
+        for r in todo:
+            groups.setdefault(self._signature(r), []).append(r)
+        feats_dim = self.sft.feats_dim
+        for (mix_b, enr_b), group in groups.items():
+            # buffer row counts bucket to powers of two: the downstream
+            # gather program is keyed on the buffer shape, and a distinct
+            # shape per wave composition means a remote recompile per wave
+            dt = np.dtype(self.kv_dtype)  # bf16 host buffers: rows cast on
+            # assignment, saving a full-buffer fp32->bf16 pass per wave
+            mix = np.zeros((_next_pow2(len(group)), mix_b, feats_dim), dt)
+            with_enr = [r for r in group if r.enroll_feats is not None]
+            enr = (np.zeros((_next_pow2(len(with_enr)), enr_b, feats_dim),
+                            dt)
+                   if with_enr else None)
+            enr_row: Dict[int, int] = {}
+            j = 0
+            for i, r in enumerate(group):
+                mix[i, : r.mix_feats.shape[0]] = r.mix_feats
+                if r.enroll_feats is not None:
+                    enr[j, : r.enroll_feats.shape[0]] = r.enroll_feats
+                    enr_row[r.uid] = j
+                    j += 1
+            mix_dev = jnp.asarray(mix)
+            enr_dev = jnp.asarray(enr) if enr is not None else None
+            for i, r in enumerate(group):
+                self._staged[r.uid] = (
+                    (mix_dev, i),
+                    (enr_dev, enr_row[r.uid]) if r.uid in enr_row else None)
+
+    def _gather_rows(self, refs, b_pad: int, row_shape: tuple):
+        """(buffer, row) refs (None entries -> zero rows) -> one (b_pad,
+        *row_shape) device array. Single-buffer fast path is ONE jitted
+        gather+scatter into a cached zero template, with index vectors
+        padded to b_pad (pad positions unique and out of range -> dropped)
+        so the program shape never depends on how many rows are live —
+        variable shapes meant a remote recompile per wave (measured
+        seconds/wave). Mixed buffers fall back to a per-row stack."""
+        zero = self._zero_rows.get(("wave", b_pad) + row_shape)
+        if zero is None:
+            zero = jnp.zeros((b_pad,) + row_shape, self.kv_dtype)
+            self._zero_rows[("wave", b_pad) + row_shape] = zero
+        live = [(pos, ref) for pos, ref in enumerate(refs) if ref is not None]
+        if not live:
+            return zero
+        bufs = {id(ref[0]) for _, ref in live}
+        if len(bufs) == 1:
+            buf = live[0][1][0]
+            k = len(live)
+            pos = np.arange(b_pad, 2 * b_pad - k, dtype=np.int32)
+            pos = np.concatenate(
+                [np.asarray([p for p, _ in live], np.int32), pos])
+            rows = np.zeros((b_pad,), np.int32)
+            rows[:k] = [ref[1] for _, ref in live]
+            return _scatter_rows(zero, buf, jnp.asarray(pos),
+                                 jnp.asarray(rows))
+        rows = [ref[0][ref[1]] if ref is not None else zero[0]
+                for ref in refs]
+        return jnp.stack(rows[:b_pad] + [zero[0]] * (b_pad - len(rows)))
 
     def _reap_host(self) -> None:
         """Deterministic completion bookkeeping (no device sync): decode
@@ -500,7 +598,7 @@ class ContinuousBatchingEngine:
             for r in group:
                 true_total = (2 + r.mix_feats.shape[0]
                               + (1 + r.enroll_feats.shape[0]
-                                 if enr_b is not None else 0))
+                                 if r.enroll_feats is not None else 0))
                 need_tokens = max(
                     la, true_total + r.global_length + 1 + r.semantic_length)
                 n_blk = math.ceil(need_tokens / self.block_size)
@@ -515,23 +613,19 @@ class ContinuousBatchingEngine:
             # prefill compute but mid-run recompiles cost 6-8 s each on
             # remote-compiled backends (CLAUDE.md #3).
             b_pad = self.num_slots
-            zero_mix = self._zero_row((mix_b, feats_dim))
-            zero_enr = self._zero_row(
-                (enr_b if enr_b is not None else 1, feats_dim))
-            mix_rows: List = []
-            enr_rows: List = []
-            slot_ids = np.full((b_pad,), self.num_slots, np.int32)  # dropped
             tables = np.full((b_pad, self.max_blocks), TRASH_BLOCK, np.int32)
-            task_ids = np.zeros((b_pad,), np.int32)
-            n_head = np.zeros((b_pad,), np.int32)
-            true_totals = np.zeros((b_pad,), np.int32)
-            glens = np.ones((b_pad,), np.int32)
-            slens = np.ones((b_pad,), np.int32)
+            # metadata packed into THREE host->device transfers (int / rng /
+            # float) instead of eleven: each transfer costs ~ms of dispatch
+            # overhead on remote-attached chips. Columns: slot, task,
+            # n_head, true_total, glen, slen, top_k, do_sample
+            meta_i = np.zeros((b_pad, 8), np.int32)
+            meta_i[:, 0] = self.num_slots  # dropped rows
+            meta_i[:, 4:6] = 1
+            meta_i[:, 6] = 1
             rngs = np.zeros((b_pad, 2), np.uint32)
-            do_samples = np.zeros((b_pad,), np.bool_)
-            temps = np.ones((b_pad,), np.float32)
-            top_ks = np.ones((b_pad,), np.int32)
-            top_ps = np.ones((b_pad,), np.float32)
+            meta_f = np.ones((b_pad, 2), np.float32)
+            mix_refs: List = []
+            enr_refs: List = []
 
             if displace:
                 free = [i for i in range(self.num_slots)
@@ -549,47 +643,40 @@ class ContinuousBatchingEngine:
                 self._slot_blocks[slot] = blocks
                 self._uids[slot] = r.uid
                 self._remaining[slot] = r.global_length + 1 + r.semantic_length
-                slot_ids[i] = slot
                 tables[i, : n_blk] = blocks
-                task_ids[i] = r.task_id
-                mix_dev, enr_dev = self._staged.pop(r.uid, (None, None))
-                if mix_dev is None:
-                    mix_dev, enr_dev = self._stage_one(r)
-                mix_rows.append(mix_dev)
-                enr_rows.append(enr_dev if enr_dev is not None else zero_enr)
-                n_head[i] = 2 + (r.enroll_feats.shape[0]
-                                 if enr_b is not None else 0)
-                true_totals[i] = true_total
-                glens[i] = r.global_length
-                slens[i] = r.semantic_length
+                staged = self._staged.pop(r.uid, None)
+                mix_ref, enr_ref = staged if staged else self._stage_one(r)
+                mix_refs.append(mix_ref)
+                enr_refs.append(enr_ref)
+                # head (compacted out for enroll-less rows): task alone, or
+                # task + enroll_sos + enroll
+                meta_i[i] = (slot, r.task_id,
+                             1 if r.enroll_feats is None
+                             else 2 + r.enroll_feats.shape[0],
+                             true_total, r.global_length, r.semantic_length,
+                             r.top_k, int(r.do_sample))
                 rngs[i] = rng.integers(0, 2**32, size=2, dtype=np.uint32)
-                do_samples[i] = r.do_sample
-                temps[i] = r.temperature
-                top_ks[i] = r.top_k
-                top_ps[i] = r.top_p
+                meta_f[i] = (r.temperature, r.top_p)
                 admitted.append(r.uid)
 
-            mix_rows += [zero_mix] * (b_pad - len(mix_rows))
-            enr_rows += [zero_enr] * (b_pad - len(enr_rows))
+            # rows were bucket-padded, cast to the engine compute dtype
+            # (half the tunnel bytes for bf16) and transferred when they
+            # were STAGED — possibly while earlier decode chunks were still
+            # running; this gather is a device-side op
+            mix_feats = self._gather_rows(mix_refs, b_pad,
+                                          (mix_b, feats_dim))
+            enroll_feats = self._gather_rows(
+                enr_refs, b_pad, (enr_b if enr_b is not None else 1,
+                                  feats_dim))
             self.pool, self.state, stash = self._prefill_insert(
                 self.params, self.pool, self.state,
                 with_enroll=enr_b is not None,
-                slot_ids=jnp.asarray(slot_ids),
                 tables=jnp.asarray(tables),
-                task_ids=jnp.asarray(task_ids),
-                # rows were bucket-padded, cast to the engine compute dtype
-                # (half the tunnel bytes for bf16) and transferred when they
-                # were STAGED — possibly while earlier decode chunks were
-                # still running; this stack is a device-side op
-                mix_feats=jnp.stack(mix_rows),
-                enroll_feats=jnp.stack(enr_rows),
-                n_head=jnp.asarray(n_head),
-                true_total=jnp.asarray(true_totals),
-                glens=jnp.asarray(glens), slens=jnp.asarray(slens),
+                mix_feats=mix_feats,
+                enroll_feats=enroll_feats,
+                meta_i=jnp.asarray(meta_i),
                 rngs=jnp.asarray(rngs),
-                do_samples=jnp.asarray(do_samples),
-                temps=jnp.asarray(temps),
-                top_ks=jnp.asarray(top_ks), top_ps=jnp.asarray(top_ps),
+                meta_f=jnp.asarray(meta_f),
             )
             if any(u is not None for u in replaced):
                 self._pending_stashes.append((replaced, stash))
@@ -745,6 +832,10 @@ class ContinuousBatchingEngine:
                 if any(self._uids[s] == u for s in range(self.num_slots))}
 
     def _run_inner(self, pending, results, rng, poll_interval, i):
+        # first wave: batch-stage before admitting (later waves prestage
+        # during decode)
+        if pending:
+            self.prestage(pending)
         while True:
             if pending:
                 # displacing admissions: finished slots are known host-side
