@@ -11,6 +11,11 @@ over two loop lengths and reports the slope, with np.asarray as the
 completion barrier (block_until_ready returns early on this backend,
 CLAUDE.md #2).
 """
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))
+
 import json
 import time
 

@@ -4,6 +4,11 @@ tokens/sec and request latency at full LM size (the north-star serving mode).
 
 Round-2 engine: paged block-pool KV, batched bucket-padded admissions
 (one prefill dispatch per wave), per-request sampling params, bf16 params."""
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))
+
 import json
 import time
 

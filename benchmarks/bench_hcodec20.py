@@ -1,6 +1,11 @@
 """HCodec-2.0 batched encode/decode throughput (BASELINE config 2: batched
 RVQ codec, batch=32): 48 kHz, 3 s utterances, full large_12.5hz model
 (1536-dim, 24+32 ConvNeXt stacks, RVQ 16x1024 per stream)."""
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))
+
 import json
 import time
 

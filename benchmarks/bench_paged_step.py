@@ -10,6 +10,11 @@ loop body) while sweeping the knobs that bound it from different directions:
 Timing forces a device->host fetch (np.asarray) as the completion barrier —
 block_until_ready returns early on tunnel-attached chips (CLAUDE.md #2).
 """
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))
+
 import json
 import time
 

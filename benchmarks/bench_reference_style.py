@@ -13,6 +13,11 @@ numbers (SURVEY §6).
 Prints JSON lines: reference_style_tokens_per_sec, native tokens_per_sec
 at batch 1 and 16, and the speedup ratios.
 """
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))
+
 import json
 import time
 

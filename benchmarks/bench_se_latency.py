@@ -3,6 +3,11 @@ two-phase decode -> BiCodec detokenize -> enhanced wav (BASELINE metric 3,
 "SE p50 latency"). Full-size stack: wav2vec2-large-XLSR BiCodec frontend,
 WavLM-base-plus conditioner, 512/12L LM. Random weights (latency is
 weight-independent)."""
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))
+
 import json
 import time
 

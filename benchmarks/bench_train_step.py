@@ -7,6 +7,11 @@ Each train_step call syncs on the scalar loss (float()), so the wall clock
 is honest per step; steady-state steps/s is reported after a warmup step
 compiles the program.
 """
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))
+
 import json
 import sys
 import time

@@ -5,6 +5,11 @@ The reference decodes one 5 s segment at a time through a Python token loop
 (llm_sft.py:139-193); here segments decode as a parallel batch inside one
 compiled program. Reports tokens/sec and segment p50 latency per batch size.
 """
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))
+
 import json
 import sys
 import time
