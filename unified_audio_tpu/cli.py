@@ -10,12 +10,17 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 from pathlib import Path
 
 import numpy as np
 
 TARGET_SR = 16000  # UniSE operates on 16 kHz mono (model/model.py:175-181)
+
+# the FlexiCodec teacher frontend's CMVN stats (a data artifact, loaded from
+# the reference checkout when present — see ops/fbank.py)
+_REFERENCE_AM_MVN = "/root/reference/QuarkAudio-HCodec/HCodec-1.5/adaptive/am.mvn"
 
 
 def _load_sft_checkpoint(ckpt: str, llm_cfg):
@@ -344,15 +349,24 @@ def cmd_codec(args):
 
     if args.model == "flexicodec":
         from .models.hcodec.flexicodec import (
-            FlexiCodec, FlexiCodecConfig, fbank_semantic)
+            FlexiCodec, FlexiCodecConfig, fbank_semantic, sensevoice_semantic)
 
         cfg = FlexiCodecConfig(sample_rate=TARGET_SR)
         model = FlexiCodec(cfg)
         x = jnp.asarray(wav)
-        # SenseVoice is not in this image: the semantic stream comes from
-        # the log-fbank fallback (documented in flexicodec.py); swap in
-        # models/ssl teacher_features for an SSL teacher
-        sem = fbank_semantic(x, sample_rate=TARGET_SR, out_dim=cfg.ssl_dim)
+        # semantic stream: the exact reference teacher frontend (funasr
+        # WavFrontend, ops/fbank.py) when its am.mvn stats are reachable
+        # (--cmvn or the reference checkout); otherwise the generic
+        # log-fbank fallback. The SenseVoice encoder weights themselves are
+        # unavailable in this image — see flexicodec.py module docstring.
+        cmvn = getattr(args, "cmvn", None) or (
+            _REFERENCE_AM_MVN if os.path.exists(_REFERENCE_AM_MVN) else None)
+        if cmvn:
+            sem = sensevoice_semantic(x, cmvn, out_dim=cfg.ssl_dim,
+                                      sample_rate=TARGET_SR)
+        else:
+            sem = fbank_semantic(x, sample_rate=TARGET_SR,
+                                 out_dim=cfg.ssl_dim)
         if args.ckpt:
             import torch
 
@@ -622,6 +636,10 @@ def main(argv=None):
                     default="hcodec10")
     t5.add_argument("--input", required=True)
     t5.add_argument("--output", required=True)
+    t5.add_argument("--cmvn", default=None,
+                    help="Kaldi CMVN stats (am.mvn) for the exact "
+                         "flexicodec teacher frontend; defaults to the "
+                         "reference checkout's copy when present")
     t5.add_argument("--ckpt", default=None,
                     help="torch weights.pt (convert_hcodec10/20 by --model)")
     t5.set_defaults(fn=cmd_codec)
@@ -630,7 +648,8 @@ def main(argv=None):
     t6.add_argument("--requests", required=True,
                     help="JSONL request file (see cmd_serve docstring)")
     t6.add_argument("--ckpt", default=None)
-    t6.add_argument("--slots", type=int, default=8)
+    t6.add_argument("--slots", type=int, default=16)  # measured sweet spot
+    # with the Pallas stream kernel (benchmarks/RESULTS.json round 3)
     t6.add_argument("--bf16", action="store_true", default=True)
     t6.add_argument("--seed", type=int, default=0)
     t6.set_defaults(fn=cmd_serve)

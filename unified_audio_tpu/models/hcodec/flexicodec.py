@@ -19,11 +19,14 @@ convert directly (utils/convert_hcodec.convert_flexicodec):
   (the FlexiCodec mode) reuses the same static-shape machinery as
   models/hcodec/adaptive.py.
 
-The SenseVoice teacher frontend is not in this image (funasr); the semantic
-representation enters as an ARGUMENT (``semantic_repr``) produced by any
-frozen SSL encoder (models/ssl) or the log-fbank fallback — the documented
-environment substitution (VERDICT r2 missing #5). Distillation against a
-frozen teacher is in ``__call__`` via ``teacher_feats``.
+The SenseVoice teacher's FEATURE FRONTEND (funasr WavFrontend: kaldi fbank +
+LFR + CMVN, feature_extractors.py:8-28) is reproduced exactly in
+``ops/fbank.py`` — use ``sensevoice_semantic`` below with the reference's
+``am.mvn`` stats. Only the SenseVoice *encoder weights* remain absent (funasr
+not in this image), so the semantic representation still enters as an
+ARGUMENT (``semantic_repr``): exact frontend features, any frozen models/ssl
+encoder, or the generic log-fbank fallback. Distillation against a frozen
+teacher is in ``__call__`` via ``teacher_feats``.
 """
 from __future__ import annotations
 
@@ -511,6 +514,24 @@ def fbank_semantic(wav, sample_rate=16000, n_mels=80, hop=160,
     h = jnp.swapaxes(jnp.log(mel + 1e-6), -1, -2)
     reps = -(-out_dim // n_mels)
     return jnp.tile(h, (1, 1, reps))[..., :out_dim]
+
+
+def sensevoice_semantic(wav, cmvn_file, out_dim=1024, sample_rate=16000):
+    """Semantic stream from the EXACT reference teacher frontend (funasr
+    WavFrontend: kaldi fbank 80 x 25/10 ms + LFR 7/6 + CMVN from ``am.mvn``
+    — feature_extractors.py:13-21, reproduced in ops/fbank.py). The 560-dim
+    frames are tiled/truncated to ``out_dim`` (the SenseVoice encoder that
+    would normally project them is weight-unavailable in this image).
+
+    (B, T) -> (B, ceil(T_frames/6), out_dim).
+    """
+    from ...ops.fbank import SenseVoiceFrontend
+
+    front = SenseVoiceFrontend(cmvn_file=cmvn_file, sample_rate=sample_rate)
+    feats = front(wav)                                   # (B, T_lfr, 560)
+    d = front.output_dim
+    reps = -(-out_dim // d)
+    return jnp.tile(feats, (1, 1, reps))[..., :out_dim]
 
 
 def teacher_features(ssl_model, ssl_variables, wav):
