@@ -386,11 +386,24 @@ def cmd_codec(args):
         else:
             print("WARNING: random weights — reconstruction is not "
                   "meaningful", file=sys.stderr)
-            variables = model.init(jax.random.PRNGKey(0), x, sem,
-                                   train=False)
-        ac, semc = model.apply(variables, x, sem, method="encode")
-        rec = np.asarray(
-            model.apply(variables, ac, semc, method="decode"))[0]
+            from .utils.initialization import init_on_cpu
+
+            # init on the host CPU (one jitted program + one transfer);
+            # eager init over a tunnel-attached chip dispatches thousands
+            # of individual ops (CLAUDE.md gotcha). Real inputs keep any
+            # data-dependent init (k-means codebooks) meaningful.
+            sem_host = np.asarray(sem)
+            x_host = np.asarray(wav, np.float32)
+            variables = init_on_cpu(
+                lambda: model.init(jax.random.PRNGKey(0), x_host, sem_host,
+                                   train=False))
+        # jitted with variables as ARGUMENTS (closure constants blow the
+        # remote-compile body limit; eager apply is a round trip per op)
+        enc = jax.jit(lambda v, xx, ss: model.apply(v, xx, ss,
+                                                    method="encode"))
+        dec = jax.jit(lambda v, a, s: model.apply(v, a, s, method="decode"))
+        ac, semc = enc(variables, x, sem)
+        rec = np.asarray(dec(variables, ac, semc))[0]
         rate = float(ac.shape[1]) / (wav.shape[-1] / TARGET_SR)
     elif args.model == "hcodec15":
         from .models.hcodec.adaptive import adaptive15_config
