@@ -16,7 +16,7 @@ import numpy as np
 
 
 def main(num_slots: int = 8, num_requests: int = 24, dtype: str = "bfloat16",
-         poll_interval: int = 256):
+         poll_interval: int = 256, wav_input: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -40,21 +40,51 @@ def main(num_slots: int = 8, num_requests: int = 24, dtype: str = "bfloat16",
     ))
 
     rng = np.random.default_rng(0)
+    seg = 80000  # 5 s @ 16 kHz — the serve-CLI segment
+
+    extra = {}
+    if wav_input:
+        # waveform admission (the serve-CLI production path): mix rides the
+        # link as int16 samples; the REAL WavLM-base frontend runs inside
+        # the prefill program. Enroll stays precomputed features (hybrid).
+        from unified_audio_tpu.models.ssl import wav2vec2 as ssl_mod
+
+        ssl = ssl_mod.Wav2Vec2Model(ssl_mod.wavlm_base_plus_config())
+        ssl_vars = init_on_cpu(lambda: ssl.init(
+            jax.random.PRNGKey(1), np.zeros((1, seg + 320), np.float32)))
+
+        def feature_fn(variables, wav):
+            padded = jnp.pad(wav, [(0, 0), (160, 160)])
+            return ssl_mod.wavlm_features(ssl.apply(variables, padded))
+
+        extra = dict(feature_fn=feature_fn, feature_params=ssl_vars,
+                     wav_buckets=(seg,))
 
     def make_request(uid):
         task = uid % 3  # mixed se/tse/rtse traffic
+        if wav_input:
+            # full-segment enrolls ride the sample wire too (exact bucket,
+            # identical features — the serve-CLI fast path)
+            inputs = dict(
+                mix_wav=rng.standard_normal(seg).astype(np.float32) * 0.1,
+                enroll_wav=(rng.standard_normal(seg).astype(np.float32)
+                            * 0.1 if task != 0 else None))
+        else:
+            inputs = dict(
+                mix_feats=rng.standard_normal((250, 768)).astype(
+                    np.float32),
+                enroll_feats=(rng.standard_normal((250, 768)).astype(
+                    np.float32) if task != 0 else None))
         return Request(
-            task_id=task,
-            mix_feats=rng.standard_normal((250, 768)).astype(np.float32),
-            enroll_feats=(rng.standard_normal((250, 768)).astype(np.float32)
-                          if task != 0 else None),
-            global_length=32, semantic_length=250, uid=uid,
+            task_id=task, global_length=32, semantic_length=250, uid=uid,
+            **inputs,
         )
 
     eng = ContinuousBatchingEngine(
         sft, params, num_slots=num_slots, block_size=64,
         max_global=32, max_semantic=256, mix_buckets=(256,),
         dtype=jnp.bfloat16 if dtype == "bfloat16" else None,
+        **extra,
     )
     # warmup: fill the pool once end-to-end (compiles prefill waves + step)
     print(json.dumps({"stage": "warmup"}), flush=True)
@@ -73,6 +103,7 @@ def main(num_slots: int = 8, num_requests: int = 24, dtype: str = "bfloat16",
         "num_requests": num_requests,
         "dtype": dtype,
         "kv": "paged",
+        "input": "wav" if wav_input else "feats",
         "poll_interval": poll_interval,
         "tokens_per_sec": round(tokens / dt, 1),
         "requests_per_sec": round(num_requests / dt, 2),
@@ -93,4 +124,6 @@ if __name__ == "__main__":
         kw["dtype"] = sys.argv[3]
     if len(sys.argv) > 4:
         kw["poll_interval"] = int(sys.argv[4])
+    if len(sys.argv) > 5:
+        kw["wav_input"] = bool(int(sys.argv[5]))
     main(**kw)

@@ -528,3 +528,189 @@ class TestUnifiedWaves:
                                       np.asarray(ref_b[0][0]))
         np.testing.assert_array_equal(results[2].semantic_ids,
                                       np.asarray(ref_b[1][0]))
+
+
+def _toy_frontend(fparams, wav):
+    """Deterministic toy SSL frontend: frame at hop 4, project to 12 dims.
+    (B, N) -> (B, N//4, 12). Stands in for wavlm_feats_pure (same calling
+    convention: params as explicit argument, traceable under jit)."""
+    b, n = wav.shape
+    frames = wav.reshape(b, n // 4, 4)
+    return jnp.einsum("btk,kd->btd", frames, fparams["proj"])
+
+
+@pytest.fixture(scope="module")
+def frontend_params():
+    rng = np.random.default_rng(7)
+    return {"proj": jnp.asarray(
+        rng.standard_normal((4, 12)).astype(np.float32))}
+
+
+class TestWaveformAdmission:
+    """Waveform admission: the SSL frontend runs on device inside the
+    prefill program; raw samples (int16/fp16 wire) cross the host->device
+    link instead of feature frames (~2.5x fewer bytes, measured link
+    bandwidth ~70 MB/s — benchmarks/probe_staging.py)."""
+
+    def _engine(self, sft, params, fparams, **kw):
+        kw.setdefault("wav_buckets", (40, 64))
+        kw.setdefault("enroll_wav_buckets", (40,))
+        return make_engine(sft, params, feature_fn=_toy_frontend,
+                           feature_params=fparams, **kw)
+
+    def test_frames_for_matches_frontend(self, setup, frontend_params):
+        cfg, sft, params, rng = setup
+        eng = self._engine(sft, params, frontend_params)
+        assert eng._frames_for(40) == 10
+        assert eng._frames_for(64) == 16
+        # frame buckets derived from wav buckets joined the mix buckets
+        assert set((10, 16)) <= set(eng.mix_buckets)
+
+    def test_wav_greedy_matches_generate(self, setup, frontend_params):
+        """fp32 wire: engine(wav) == sft.generate(frontend(wav)) exactly."""
+        cfg, sft, params, rng = setup
+        wav = rng.standard_normal(40).astype(np.float32) * 0.5
+        feats = _toy_frontend(frontend_params, jnp.asarray(wav)[None])
+        ref_g, ref_s = sft.apply(
+            params, 0, None, feats, jax.random.PRNGKey(9),
+            method="generate", global_length=4, semantic_length=6,
+            do_sample=False)
+
+        eng = self._engine(sft, params, frontend_params,
+                           wav_wire="float32")
+        req = Request(task_id=0, mix_wav=wav, global_length=4,
+                      semantic_length=6, do_sample=False, uid=1)
+        results = eng.run([req], jax.random.PRNGKey(0))
+        np.testing.assert_array_equal(results[1].global_ids,
+                                      np.asarray(ref_g[0]))
+        np.testing.assert_array_equal(results[1].semantic_ids,
+                                      np.asarray(ref_s[0]))
+
+    def test_wav_int16_wire_matches_quantized_reference(
+            self, setup, frontend_params):
+        """int16 wire: engine(wav) == generate over features of the SAME
+        int16-quantized waveform (the wire transform is the only
+        difference, and it is exact for 16-bit PCM sources)."""
+        cfg, sft, params, rng = setup
+        wav = (rng.integers(-2**15, 2**15, size=40)
+               .astype(np.float32) / 32768.0)  # exact 16-bit PCM
+        feats = _toy_frontend(frontend_params, jnp.asarray(wav)[None])
+        ref_g, ref_s = sft.apply(
+            params, 1, None, feats, jax.random.PRNGKey(9),
+            method="generate", global_length=4, semantic_length=6,
+            do_sample=False)
+
+        eng = self._engine(sft, params, frontend_params)  # int16 default
+        req = Request(task_id=1, mix_wav=wav, global_length=4,
+                      semantic_length=6, do_sample=False, uid=5)
+        results = eng.run([req], jax.random.PRNGKey(0))
+        np.testing.assert_array_equal(results[5].global_ids,
+                                      np.asarray(ref_g[0]))
+        np.testing.assert_array_equal(results[5].semantic_ids,
+                                      np.asarray(ref_s[0]))
+
+    def test_wav_with_enroll_and_padded_bucket(self, setup, frontend_params):
+        """tse waveform request with a mix shorter than its sample bucket:
+        compaction + padding semantics carry over from the feats path."""
+        cfg, sft, params, rng = setup
+        mix = rng.standard_normal(56).astype(np.float32) * 0.5  # bucket 64
+        enr = rng.standard_normal(36).astype(np.float32) * 0.5  # bucket 40
+        mf = _toy_frontend(frontend_params, jnp.asarray(mix)[None])
+        ef = _toy_frontend(frontend_params, jnp.asarray(enr)[None])
+        ref_g, ref_s = sft.apply(
+            params, 1, ef, mf, jax.random.PRNGKey(9), method="generate",
+            global_length=3, semantic_length=7, do_sample=False)
+
+        eng = self._engine(sft, params, frontend_params,
+                           wav_wire="float32")
+        req = Request(task_id=1, mix_wav=mix, enroll_wav=enr,
+                      global_length=3, semantic_length=7, do_sample=False,
+                      uid=2)
+        results = eng.run([req], jax.random.PRNGKey(0))
+        np.testing.assert_array_equal(results[2].global_ids,
+                                      np.asarray(ref_g[0]))
+        np.testing.assert_array_equal(results[2].semantic_ids,
+                                      np.asarray(ref_s[0]))
+
+    def test_hybrid_wav_mix_feats_enroll(self, setup, frontend_params):
+        """Hybrid request: mix as waveform (cheap wire), enroll as
+        EXACT-LENGTH precomputed features — the serve-CLI shape for
+        frontends with global attention, where bucket-padding the enroll
+        audio would change its features."""
+        cfg, sft, params, rng = setup
+        mix = rng.standard_normal(64).astype(np.float32) * 0.5
+        ef = rng.standard_normal((6, 12)).astype(np.float32)
+        mf = _toy_frontend(frontend_params, jnp.asarray(mix)[None])
+        ref_g, ref_s = sft.apply(
+            params, 1, jnp.asarray(ef)[None], mf, jax.random.PRNGKey(9),
+            method="generate", global_length=3, semantic_length=7,
+            do_sample=False)
+
+        eng = self._engine(sft, params, frontend_params,
+                           wav_wire="float32", enroll_buckets=(6, 10))
+        req = Request(task_id=1, mix_wav=mix, enroll_feats=ef,
+                      global_length=3, semantic_length=7, do_sample=False,
+                      uid=3)
+        assert eng._signature(req)[0] == "w"
+        assert eng._signature(req)[2] == "f"
+        results = eng.run([req], jax.random.PRNGKey(0))
+        np.testing.assert_array_equal(results[3].global_ids,
+                                      np.asarray(ref_g[0]))
+        np.testing.assert_array_equal(results[3].semantic_ids,
+                                      np.asarray(ref_s[0]))
+
+    def test_mixed_wav_and_feats_requests_one_pool(self, setup,
+                                                   frontend_params):
+        """A waveform request and a precomputed-features request decode
+        side by side in one pool; each matches its solo generate."""
+        cfg, sft, params, rng = setup
+        wav = rng.standard_normal(40).astype(np.float32) * 0.5
+        mixf = rng.standard_normal((10, 12)).astype(np.float32)
+        wf = _toy_frontend(frontend_params, jnp.asarray(wav)[None])
+        ref_w = sft.apply(params, 0, None, wf, jax.random.PRNGKey(9),
+                          method="generate", global_length=4,
+                          semantic_length=6, do_sample=False)
+        ref_f = sft.apply(params, 2, None, jnp.asarray(mixf)[None],
+                          jax.random.PRNGKey(9), method="generate",
+                          global_length=4, semantic_length=6,
+                          do_sample=False)
+
+        eng = self._engine(sft, params, frontend_params,
+                           wav_wire="float32")
+        reqs = [Request(task_id=0, mix_wav=wav, global_length=4,
+                        semantic_length=6, do_sample=False, uid=1),
+                Request(task_id=2, mix_feats=mixf, global_length=4,
+                        semantic_length=6, do_sample=False, uid=2)]
+        results = eng.run(reqs, jax.random.PRNGKey(0))
+        np.testing.assert_array_equal(results[1].global_ids,
+                                      np.asarray(ref_w[0][0]))
+        np.testing.assert_array_equal(results[1].semantic_ids,
+                                      np.asarray(ref_w[1][0]))
+        np.testing.assert_array_equal(results[2].global_ids,
+                                      np.asarray(ref_f[0][0]))
+        np.testing.assert_array_equal(results[2].semantic_ids,
+                                      np.asarray(ref_f[1][0]))
+
+    def test_wav_validation(self, setup, frontend_params):
+        cfg, sft, params, rng = setup
+        plain = make_engine(sft, params)  # no feature_fn
+        wav = np.zeros(40, np.float32)
+        short = dict(global_length=4, semantic_length=6, uid=1)
+        with pytest.raises(ValueError, match="feature_fn"):
+            plain.validate(Request(task_id=0, mix_wav=wav, **short))
+        eng = self._engine(sft, params, frontend_params)
+        with pytest.raises(ValueError, match="both"):
+            eng.validate(Request(task_id=0, mix_wav=wav,
+                                 mix_feats=np.zeros((10, 12), np.float32),
+                                 **short))
+        with pytest.raises(ValueError, match="neither"):
+            eng.validate(Request(task_id=0, **short))
+        with pytest.raises(ValueError, match="both enroll"):
+            eng.validate(Request(
+                task_id=0, mix_wav=wav,
+                enroll_wav=np.zeros(36, np.float32),
+                enroll_feats=np.zeros((6, 12), np.float32), **short))
+        with pytest.raises(ValueError):  # over the largest wav bucket
+            eng.validate(Request(task_id=0,
+                                 mix_wav=np.zeros(100, np.float32),
+                                 **short))

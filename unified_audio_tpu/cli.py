@@ -509,7 +509,14 @@ def cmd_serve(args):
     seg = cfg.segment_len
     sem_len = unise._semantic_len()
 
-    # one Request per 5-s segment; mixed tasks share the pool
+    # one Request per 5-s segment; mixed tasks share the pool. The mix
+    # rides the link as RAW int16 SAMPLES (waveform admission: the WavLM
+    # frontend runs batched inside the prefill program — no host-side
+    # feature round trip, ~6x fewer host->device bytes than fp32 frames on
+    # the measured ~70 MB/s link). Enroll clips stay EXACT-LENGTH
+    # precomputed features: WavLM's global attention would compute
+    # different features for bucket-padded audio (hybrid requests,
+    # serve/engine.py _signature).
     reqs, meta = [], {}
     uid = 0
     for l in lines:
@@ -517,19 +524,25 @@ def cmd_serve(args):
         wav = _prepare_wav(wav, fs)
         segs, orig_len = unise._segment(wav)
         peak = np.abs(wav).max() or 1.0
-        feats = np.asarray(unise.extract_semantic_features(
-            jnp.asarray(segs / peak)))
-        enroll_feats = None
+        segs = np.asarray(segs) / peak
+        enroll_feats = enroll_wav = None
         if l.get("enroll"):
             e, efs = read_wav(l["enroll"])
             e = _prepare_wav(e, efs)[:, :seg]
-            enroll_feats = np.asarray(unise.extract_semantic_features(
-                jnp.asarray(e / (np.abs(e).max() or 1.0))))[0]
+            e = e / (np.abs(e).max() or 1.0)
+            if e.shape[-1] == seg:
+                # exactly one segment (enrolls >= 5 s truncate to this):
+                # the sample bucket is EXACT, so the in-prefill frontend
+                # computes identical features — ride the cheap sample wire
+                enroll_wav = np.asarray(e)[0]
+            else:
+                enroll_feats = np.asarray(unise.extract_semantic_features(
+                    jnp.asarray(e)))[0]
         seg_uids = []
-        for i in range(feats.shape[0]):
+        for i in range(segs.shape[0]):
             reqs.append(Request(
-                task_id=task_map[l.get("task", "se")], mix_feats=feats[i],
-                enroll_feats=enroll_feats,
+                task_id=task_map[l.get("task", "se")], mix_wav=segs[i],
+                enroll_feats=enroll_feats, enroll_wav=enroll_wav,
                 global_length=cfg.global_tokens, semantic_length=sem_len,
                 temperature=l.get("temperature", 0.8),
                 top_k=l.get("top_k", 50), top_p=l.get("top_p", 0.95),
@@ -542,6 +555,9 @@ def cmd_serve(args):
         unise.sft, unise.sft_params, num_slots=args.slots,
         max_global=cfg.global_tokens, max_semantic=sem_len + 6,
         mix_buckets=(sem_len + 6,), dtype=jnp.bfloat16 if args.bf16 else None,
+        feature_fn=unise.wavlm_feats_pure,
+        feature_params=unise.wavlm_variables,
+        wav_buckets=(seg,),
     )
     results = eng.run(reqs, jax.random.PRNGKey(args.seed))
 

@@ -25,6 +25,18 @@ before it ever becomes visible (the step at index i rewrites position i and
 attends key_pos <= i). The paged path is therefore numerically identical to
 ``LLMSFT.generate`` (tests/test_engine.py pins greedy equivalence).
 
+Waveform admission: engines built with ``feature_fn`` accept requests
+carrying RAW AUDIO (``Request.mix_wav``/``enroll_wav``) — int16 samples
+cross the host->device link (~2.5x fewer bytes than bf16 feature frames;
+the link is the measured serving bottleneck at ~70 MB/s, and transfers do
+NOT overlap dispatched compute on this backend — benchmarks/
+probe_staging.py) and the SSL frontend runs batched inside the prefill
+program. Mix and enroll choose their wire independently (hybrid): a
+frontend with global attention computes different features for
+bucket-padded audio, so partial-bucket enrolls ride as exact-length
+precomputed features while full-segment audio rides the sample wire with
+zero approximation.
+
 Scheduling (run()) is DETERMINISTIC and sync-free between waves: decode
 lengths are fixed, so completions are known host-side; finished slots are
 reaped and reused by displacing admissions whose insert program stashes the
@@ -56,9 +68,18 @@ PHASE_GLOBAL, PHASE_SEMANTIC, PHASE_DONE = 0, 1, 2
 
 @dataclass
 class Request:
+    """One serving request. Inputs are EITHER precomputed SSL features
+    (``mix_feats``/``enroll_feats``) or raw waveforms (``mix_wav``/
+    ``enroll_wav``, engines built with ``feature_fn``): waveform admission
+    ships ~2.5x fewer bytes over the host->device link (int16 samples vs
+    bf16 feature frames) and runs the SSL frontend batched on device inside
+    the prefill program — on tunnel-attached chips the link is the measured
+    bottleneck (~70 MB/s, benchmarks/probe_staging.py)."""
     task_id: int
-    mix_feats: np.ndarray  # (T, D)
+    mix_feats: Optional[np.ndarray] = None  # (T, D)
     enroll_feats: Optional[np.ndarray] = None  # (T, D) or None
+    mix_wav: Optional[np.ndarray] = None  # (N,) float in [-1, 1]
+    enroll_wav: Optional[np.ndarray] = None  # (N,) or None
     global_length: int = 32
     semantic_length: int = 250
     temperature: float = 0.8
@@ -66,6 +87,10 @@ class Request:
     top_p: float = 0.95
     do_sample: bool = True
     uid: int = 0
+
+    @property
+    def is_wav(self) -> bool:
+        return self.mix_wav is not None
 
 
 @dataclass
@@ -123,7 +148,19 @@ class ContinuousBatchingEngine:
         dtype=None,
         use_flash_kernel: Optional[bool] = None,
         unify_waves: bool = True,
+        feature_fn=None,
+        feature_params=None,
+        wav_buckets: Optional[Sequence[int]] = None,
+        enroll_wav_buckets: Optional[Sequence[int]] = None,
+        wav_wire: str = "int16",
     ):
+        """``feature_fn(feature_params, wav (B, N)) -> (B, F, D)`` enables
+        waveform admission (Request.mix_wav): the SSL frontend runs batched
+        on device inside the prefill program and raw samples cross the
+        host->device link instead of feature frames. ``wav_buckets`` are
+        sample-length buckets (pow-2-ish, like ``mix_buckets``);
+        ``wav_wire`` is the staging dtype on the link: "int16" (exact for
+        16-bit PCM, half the bytes of fp32), "float16" or "float32"."""
         self.sft = sft
         self.cfg = cfg = sft.cfg
         if dtype is not None:
@@ -156,6 +193,30 @@ class ContinuousBatchingEngine:
         # full-width padded prefills per wave (measured 2x prefill waves on
         # the mixed-task bench)
         self.unify_waves = unify_waves
+
+        self.feature_fn = feature_fn
+        self.feature_params = feature_params if feature_params is not None \
+            else {}
+        if wav_wire not in ("int16", "float16", "float32"):
+            raise ValueError(f"wav_wire {wav_wire!r} not in "
+                             "('int16', 'float16', 'float32')")
+        self.wav_wire = wav_wire
+        self.wav_buckets = tuple(sorted(wav_buckets or ()))
+        self.enroll_wav_buckets = tuple(
+            sorted(enroll_wav_buckets or self.wav_buckets))
+        if self.wav_buckets and feature_fn is None:
+            raise ValueError("wav_buckets requires feature_fn")
+        # sample-bucket -> feature-frame count, resolved by abstract
+        # evaluation of feature_fn (exact for any frontend, no hardcoded
+        # stride math); also extends mix/enroll FRAME buckets so prompt
+        # assembly and table sizing see the wav-admitted lengths
+        self._frames_cache: Dict[int, int] = {}
+        if self.wav_buckets:
+            mix_f = {self._frames_for(b) for b in self.wav_buckets}
+            enr_f = {self._frames_for(b) for b in self.enroll_wav_buckets}
+            self.mix_buckets = tuple(sorted(set(self.mix_buckets) | mix_f))
+            self.enroll_buckets = tuple(
+                sorted(set(self.enroll_buckets) | enr_f))
 
         # table width: enough logical blocks for the largest possible request
         max_prompt = 3 + self.enroll_buckets[-1] + self.mix_buckets[-1]
@@ -217,19 +278,40 @@ class ContinuousBatchingEngine:
         smask = range_mask(cfg, cfg.semantic_offset, cfg.semantic_size)
         kv_dtype, bs = self.kv_dtype, block_size
 
-        @partial(jax.jit, static_argnames=("with_enroll",),
+        @partial(jax.jit,
+                 static_argnames=("with_enroll", "mix_is_wav",
+                                  "enroll_is_wav"),
                  donate_argnums=(1, 2))
         def _prefill_insert(params, pool, state, with_enroll, tables,
-                            mix_feats, enroll_feats, meta_i, rngs, meta_f):
+                            mix_feats, enroll_feats, meta_i, rngs, meta_f,
+                            mix_is_wav=False, enroll_is_wav=False,
+                            feat_params=None):
             """Prefill a wave of B prompts and insert them into the pool +
             state in ONE dispatched program (no per-request host syncs).
             Per-row metadata arrives packed (meta_i int32 / rngs uint32 /
-            meta_f fp32 — three transfers, not eleven)."""
+            meta_f fp32 — three transfers, not eleven). With
+            ``mix_is_wav``/``enroll_is_wav`` the corresponding input is RAW
+            SAMPLE rows in the wire dtype; the SSL frontend
+            (``feature_fn``) runs right here, batched over the wave — raw
+            samples cross the link instead of feature frames, and the
+            per-request host-side feature round trip disappears entirely."""
             slot_ids, task_ids, n_head, true_total = (
                 meta_i[:, 0], meta_i[:, 1], meta_i[:, 2], meta_i[:, 3])
             glens, slens, top_ks = meta_i[:, 4], meta_i[:, 5], meta_i[:, 6]
             do_samples = meta_i[:, 7] != 0
             temps, top_ps = meta_f[:, 0], meta_f[:, 1]
+
+            def from_wire(x):
+                if x.dtype == jnp.int16:
+                    return x.astype(jnp.float32) * (1.0 / 32768.0)
+                return x.astype(jnp.float32)
+
+            if mix_is_wav:
+                mix_feats = self.feature_fn(
+                    feat_params, from_wire(mix_feats)).astype(kv_dtype)
+            if enroll_is_wav and with_enroll:
+                enroll_feats = self.feature_fn(
+                    feat_params, from_wire(enroll_feats)).astype(kv_dtype)
             prompt = self.sft.apply(
                 params, task_ids,
                 enroll_feats if with_enroll else None, mix_feats,
@@ -430,41 +512,138 @@ class ContinuousBatchingEngine:
         if not (1 <= req.top_k <= self.max_top_k):
             raise ValueError(
                 f"top_k {req.top_k} not in [1, {self.max_top_k}]")
-        _pick_bucket(req.mix_feats.shape[0], self.mix_buckets, "mix")
-        if req.enroll_feats is not None:
+        if req.mix_wav is not None and req.mix_feats is not None:
+            raise ValueError("request has both mix_wav and mix_feats")
+        if req.mix_wav is None and req.mix_feats is None:
+            raise ValueError("request has neither mix_wav nor mix_feats")
+        if req.enroll_wav is not None and req.enroll_feats is not None:
+            raise ValueError("request has both enroll_wav and enroll_feats")
+        if ((req.mix_wav is not None or req.enroll_wav is not None)
+                and (self.feature_fn is None or not self.wav_buckets)):
+            raise ValueError(
+                "waveform request needs an engine built with "
+                "feature_fn + wav_buckets")
+        if req.is_wav:
+            _pick_bucket(req.mix_wav.shape[-1], self.wav_buckets, "mix_wav")
+        else:
+            _pick_bucket(req.mix_feats.shape[0], self.mix_buckets, "mix")
+        if req.enroll_wav is not None:
+            _pick_bucket(req.enroll_wav.shape[-1],
+                         self.enroll_wav_buckets, "enroll_wav")
+        elif req.enroll_feats is not None:
             _pick_bucket(req.enroll_feats.shape[0], self.enroll_buckets,
                          "enroll")
 
-    def _signature(self, req: Request):
-        mix_b = _pick_bucket(req.mix_feats.shape[0], self.mix_buckets, "mix")
+    def _frames_for(self, n_samples: int) -> int:
+        """Feature frames produced by ``feature_fn`` for an ``n_samples``
+        waveform — abstract evaluation, no device work, cached per length."""
+        f = self._frames_cache.get(n_samples)
+        if f is None:
+            import jax as _jax
+
+            out = _jax.eval_shape(
+                self.feature_fn, self.feature_params,
+                _jax.ShapeDtypeStruct((1, n_samples), jnp.float32))
+            f = self._frames_cache.setdefault(n_samples, out.shape[1])
+        return f
+
+    def _mix_frames(self, req: Request) -> int:
+        """True mix length in feature frames (either input form)."""
+        return (self._frames_for(req.mix_wav.shape[-1]) if req.is_wav
+                else req.mix_feats.shape[0])
+
+    def _enroll_frames(self, req: Request) -> Optional[int]:
+        if req.enroll_wav is not None:
+            return self._frames_for(req.enroll_wav.shape[-1])
         if req.enroll_feats is not None:
+            return req.enroll_feats.shape[0]
+        return None
+
+    def _signature(self, req: Request):
+        """Admission-wave grouping key ``(mk, mix_b, ek, enr_b)``: mix and
+        enroll each carry their own kind — "w" (SAMPLE bucket, frontend
+        runs in the prefill program) or "f" (frame bucket, precomputed
+        features); "-" marks no enroll. Hybrid requests (mix as waveform +
+        enroll as features) are first-class: a frontend with global
+        attention (WavLM) computes DIFFERENT features for bucket-padded
+        audio, so exact-length enroll features stay exact while the
+        fixed-segment mix rides the cheap sample wire."""
+        if req.is_wav:
+            mk = "w"
+            mix_b = _pick_bucket(req.mix_wav.shape[-1], self.wav_buckets,
+                                 "mix_wav")
+        else:
+            mk = "f"
+            mix_b = _pick_bucket(req.mix_feats.shape[0], self.mix_buckets,
+                                 "mix")
+        if req.enroll_wav is not None:
+            ek = "w"
+            enr_b = _pick_bucket(req.enroll_wav.shape[-1],
+                                 self.enroll_wav_buckets, "enroll_wav")
+        elif req.enroll_feats is not None:
+            ek = "f"
             enr_b = _pick_bucket(req.enroll_feats.shape[0],
                                  self.enroll_buckets, "enroll")
         elif self.unify_waves:
             # enroll-less requests join the widest enroll group: their zero
             # enroll rows are compacted out in-graph (n_head=1), so the only
             # cost is padded prefill length — far cheaper than a second
-            # full-width prefill program per wave
-            enr_b = self.enroll_buckets[-1]
+            # full-width prefill program per wave. They join the enroll KIND
+            # that matches their mix (waveform-mix traffic's enrolled peers
+            # ride the sample wire too — serve CLI fast path), falling back
+            # to the feats group.
+            if mk == "w" and self.enroll_wav_buckets:
+                ek, enr_b = "w", self.enroll_wav_buckets[-1]
+            else:
+                ek, enr_b = "f", self.enroll_buckets[-1]
         else:
-            enr_b = None
-        return mix_b, enr_b
+            ek, enr_b = "-", None
+        return mk, mix_b, ek, enr_b
+
+    def _wire_dtype(self) -> np.dtype:
+        return np.dtype({"int16": np.int16, "float16": np.float16,
+                         "float32": np.float32}[self.wav_wire])
+
+    def _to_wire(self, wav: np.ndarray) -> np.ndarray:
+        """Host-side cast to the link format. int16 is exact for 16-bit PCM
+        sources and halves the bytes of fp32."""
+        if self.wav_wire == "int16":
+            return np.clip(np.asarray(wav, np.float32) * 32768.0,
+                           -32768, 32767).astype(np.int16)
+        return np.asarray(wav, self._wire_dtype())
+
+    def _row_spec(self, kind: str, bucket: int):
+        """(buffer row shape, numpy dtype) for one staged input of ``kind``
+        ("w" sample rows on the wire dtype / "f" bf16 feature rows)."""
+        if kind == "w":
+            return (bucket,), self._wire_dtype()
+        return (bucket, self.sft.feats_dim), np.dtype(self.kv_dtype)
+
+    def _fill_row(self, buf, row: int, kind: str, data) -> None:
+        if kind == "w":
+            buf[row, : data.shape[-1]] = self._to_wire(data)
+        else:
+            buf[row, : data.shape[0]] = data
 
     def _stage_one(self, req: Request):
-        """Bucket-pad one request's features and start their host->device
+        """Bucket-pad one request's inputs and start their host->device
         transfer (async under jax dispatch). Staged entries are (buffer,
         row) references — single-row buffers here, wave-wide buffers from
         :meth:`prestage`."""
-        feats_dim = self.sft.feats_dim
-        mix_b, enr_b = self._signature(req)
-        dt = np.dtype(self.kv_dtype)  # rows cast on assignment: no extra
-        mix = np.zeros((1, mix_b, feats_dim), dt)  # full-buffer cast pass
-        mix[0, : req.mix_feats.shape[0]] = req.mix_feats
+        mk, mix_b, ek, enr_b = self._signature(req)
+        shape, dt = self._row_spec(mk, mix_b)
+        mix = np.zeros((1,) + shape, dt)  # rows cast on assignment
+        self._fill_row(mix, 0, mk, req.mix_wav if mk == "w"
+                       else req.mix_feats)
         mix_ref = (jnp.asarray(mix), 0)
         enr_ref = None
-        if req.enroll_feats is not None:
-            enr = np.zeros((1, enr_b, feats_dim), dt)
-            enr[0, : req.enroll_feats.shape[0]] = req.enroll_feats
+        enr_data = (req.enroll_wav if req.enroll_wav is not None
+                    else req.enroll_feats)
+        if enr_data is not None:
+            ekind = "w" if req.enroll_wav is not None else "f"
+            shape, dt = self._row_spec(ekind, enr_b)
+            enr = np.zeros((1,) + shape, dt)
+            self._fill_row(enr, 0, ekind, enr_data)
             enr_ref = (jnp.asarray(enr), 0)
         return mix_ref, enr_ref
 
@@ -484,24 +663,33 @@ class ContinuousBatchingEngine:
         groups: Dict[tuple, List[Request]] = {}
         for r in todo:
             groups.setdefault(self._signature(r), []).append(r)
-        feats_dim = self.sft.feats_dim
-        for (mix_b, enr_b), group in groups.items():
+        for (mk, mix_b, ek, enr_b), group in groups.items():
             # buffer row counts bucket to powers of two: the downstream
             # gather program is keyed on the buffer shape, and a distinct
-            # shape per wave composition means a remote recompile per wave
-            dt = np.dtype(self.kv_dtype)  # bf16 host buffers: rows cast on
-            # assignment, saving a full-buffer fp32->bf16 pass per wave
-            mix = np.zeros((_next_pow2(len(group)), mix_b, feats_dim), dt)
-            with_enr = [r for r in group if r.enroll_feats is not None]
-            enr = (np.zeros((_next_pow2(len(with_enr)), enr_b, feats_dim),
-                            dt)
-                   if with_enr else None)
+            # shape per wave composition means a remote recompile per wave.
+            # int16/bf16 host buffers: rows cast on assignment, saving a
+            # full-buffer conversion pass per wave
+            shape, dt = self._row_spec(mk, mix_b)
+            mix = np.zeros((_next_pow2(len(group)),) + shape, dt)
+            with_enr = [r for r in group
+                        if r.enroll_wav is not None
+                        or r.enroll_feats is not None]
+            enr = None
+            if with_enr:
+                ekind = "w" if with_enr[0].enroll_wav is not None else "f"
+                shape, dt = self._row_spec(ekind, enr_b)
+                enr = np.zeros((_next_pow2(len(with_enr)),) + shape, dt)
             enr_row: Dict[int, int] = {}
             j = 0
             for i, r in enumerate(group):
-                mix[i, : r.mix_feats.shape[0]] = r.mix_feats
-                if r.enroll_feats is not None:
-                    enr[j, : r.enroll_feats.shape[0]] = r.enroll_feats
+                self._fill_row(mix, i, mk,
+                               r.mix_wav if mk == "w" else r.mix_feats)
+                data = (r.enroll_wav if r.enroll_wav is not None
+                        else r.enroll_feats)
+                if data is not None:
+                    self._fill_row(
+                        enr, j, "w" if r.enroll_wav is not None else "f",
+                        data)
                     enr_row[r.uid] = j
                     j += 1
             mix_dev = jnp.asarray(mix)
@@ -511,7 +699,7 @@ class ContinuousBatchingEngine:
                     (mix_dev, i),
                     (enr_dev, enr_row[r.uid]) if r.uid in enr_row else None)
 
-    def _gather_rows(self, refs, b_pad: int, row_shape: tuple):
+    def _gather_rows(self, refs, b_pad: int, row_shape: tuple, dtype=None):
         """(buffer, row) refs (None entries -> zero rows) -> one (b_pad,
         *row_shape) device array. Single-buffer fast path is ONE jitted
         gather+scatter into a cached zero template, with index vectors
@@ -519,10 +707,12 @@ class ContinuousBatchingEngine:
         so the program shape never depends on how many rows are live —
         variable shapes meant a remote recompile per wave (measured
         seconds/wave). Mixed buffers fall back to a per-row stack."""
-        zero = self._zero_rows.get(("wave", b_pad) + row_shape)
+        dtype = self.kv_dtype if dtype is None else dtype
+        key = ("wave", b_pad, np.dtype(dtype).name) + row_shape
+        zero = self._zero_rows.get(key)
         if zero is None:
-            zero = jnp.zeros((b_pad,) + row_shape, self.kv_dtype)
-            self._zero_rows[("wave", b_pad) + row_shape] = zero
+            zero = jnp.zeros((b_pad,) + row_shape, dtype)
+            self._zero_rows[key] = zero
         live = [(pos, ref) for pos, ref in enumerate(refs) if ref is not None]
         if not live:
             return zero
@@ -590,15 +780,21 @@ class ContinuousBatchingEngine:
 
         admitted: List[int] = []
         feats_dim = self.sft.feats_dim
-        for (mix_b, enr_b), group in groups.items():
+        for (mk, mix_b, ek, enr_b), group in groups.items():
+            # prompt geometry is in FEATURE FRAMES; waveform inputs map
+            # their sample buckets through the frontend's frame function
+            mix_fb = self._frames_for(mix_b) if mk == "w" else mix_b
+            enr_fb = (self._frames_for(enr_b) if ek == "w"
+                      else enr_b if ek == "f" else None)
             # drop group members that don't fit the remaining block budget
             fitting: List[tuple] = []  # (req, n_blocks)
             budget = len(self.allocator.free)
-            la = 2 + mix_b + (1 + enr_b if enr_b is not None else 0)
+            la = 2 + mix_fb + (1 + enr_fb if enr_fb is not None else 0)
             for r in group:
-                true_total = (2 + r.mix_feats.shape[0]
-                              + (1 + r.enroll_feats.shape[0]
-                                 if r.enroll_feats is not None else 0))
+                enr_frames = self._enroll_frames(r)
+                true_total = (2 + self._mix_frames(r)
+                              + (1 + enr_frames
+                                 if enr_frames is not None else 0))
                 need_tokens = max(
                     la, true_total + r.global_length + 1 + r.semantic_length)
                 n_blk = math.ceil(need_tokens / self.block_size)
@@ -650,33 +846,40 @@ class ContinuousBatchingEngine:
                 enr_refs.append(enr_ref)
                 # head (compacted out for enroll-less rows): task alone, or
                 # task + enroll_sos + enroll
+                enr_frames = self._enroll_frames(r)
                 meta_i[i] = (slot, r.task_id,
-                             1 if r.enroll_feats is None
-                             else 2 + r.enroll_feats.shape[0],
+                             1 if enr_frames is None else 2 + enr_frames,
                              true_total, r.global_length, r.semantic_length,
                              r.top_k, int(r.do_sample))
                 rngs[i] = rng.integers(0, 2**32, size=2, dtype=np.uint32)
                 meta_f[i] = (r.temperature, r.top_p)
                 admitted.append(r.uid)
 
-            # rows were bucket-padded, cast to the engine compute dtype
-            # (half the tunnel bytes for bf16) and transferred when they
-            # were STAGED — possibly while earlier decode chunks were still
+            # rows were bucket-padded, cast to the wire dtype (bf16 feature
+            # frames, or int16 samples for wav groups — half/quarter the
+            # tunnel bytes of fp32 frames) and transferred when they were
+            # STAGED — possibly while earlier decode chunks were still
             # running; this gather is a device-side op
-            mix_feats = self._gather_rows(mix_refs, b_pad,
-                                          (mix_b, feats_dim))
-            enroll_feats = self._gather_rows(
-                enr_refs, b_pad, (enr_b if enr_b is not None else 1,
-                                  feats_dim))
+            def _wave_input(kind, refs, bucket):
+                shape, dt = self._row_spec(kind, bucket if bucket else 1)
+                return self._gather_rows(refs, b_pad, shape,
+                                         dtype=jnp.dtype(dt.name))
+
+            mix_in = _wave_input(mk, mix_refs, mix_b)
+            enroll_in = _wave_input(ek if ek != "-" else "f", enr_refs,
+                                    enr_b)
             self.pool, self.state, stash = self._prefill_insert(
                 self.params, self.pool, self.state,
                 with_enroll=enr_b is not None,
+                mix_is_wav=mk == "w",
+                enroll_is_wav=ek == "w",
                 tables=jnp.asarray(tables),
-                mix_feats=mix_feats,
-                enroll_feats=enroll_feats,
+                mix_feats=mix_in,
+                enroll_feats=enroll_in,
                 meta_i=jnp.asarray(meta_i),
                 rngs=jnp.asarray(rngs),
                 meta_f=jnp.asarray(meta_f),
+                feat_params=self.feature_params,
             )
             if any(u is not None for u in replaced):
                 self._pending_stashes.append((replaced, stash))

@@ -42,9 +42,6 @@ from .paged import (TRASH_BLOCK, BlockAllocator, init_pool,
                     paged_decode_embeds, scatter_prefill)
 
 
-def _unused():  # placeholder removed below
-    pass
-
 NEG = -1e9
 
 
