@@ -197,6 +197,24 @@ class ContinuousBatchingEngine:
         self.feature_fn = feature_fn
         self.feature_params = feature_params if feature_params is not None \
             else {}
+        # the frontend pytree packs into ONE flat buffer per dtype — a
+        # ~250-tensor frontend measurably dominates the prefill DISPATCH
+        # cost on remote-attached chips (per-buffer arg marshaling,
+        # ~150 ms/wave vs ~34 ms packed); unpacking inside the program is
+        # static slices XLA fuses away (utils/param_pack.py). Weights stay
+        # in their given dtype (fp32 frontend == the host-side feature
+        # path's numerics exactly).
+        self._feat_packed = None
+        self._feat_spec = None
+        self._feat_skeleton = None
+        if feature_fn is not None and feature_params is not None:
+            from ..utils.param_pack import pack_pytree
+
+            fp = feature_params
+            self._feat_skeleton = jax.tree_util.tree_map(
+                lambda p: jax.ShapeDtypeStruct(jnp.shape(p),
+                                               jnp.asarray(p).dtype), fp)
+            self._feat_packed, self._feat_spec = pack_pytree(fp)
         if wav_wire not in ("int16", "float16", "float32"):
             raise ValueError(f"wav_wire {wav_wire!r} not in "
                              "('int16', 'float16', 'float32')")
@@ -306,12 +324,20 @@ class ContinuousBatchingEngine:
                     return x.astype(jnp.float32) * (1.0 / 32768.0)
                 return x.astype(jnp.float32)
 
+            if mix_is_wav or (enroll_is_wav and with_enroll):
+                from ..utils.param_pack import unpack_pytree
+
+                # feat_params arrives as the PACKED buffers (one per dtype:
+                # dispatch marshals 1-2 handles, not ~250); the spec /
+                # skeleton are tiny static metadata, safe as closures
+                fvars = unpack_pytree(feat_params, self._feat_spec,
+                                      self._feat_skeleton)
             if mix_is_wav:
                 mix_feats = self.feature_fn(
-                    feat_params, from_wire(mix_feats)).astype(kv_dtype)
+                    fvars, from_wire(mix_feats)).astype(kv_dtype)
             if enroll_is_wav and with_enroll:
                 enroll_feats = self.feature_fn(
-                    feat_params, from_wire(enroll_feats)).astype(kv_dtype)
+                    fvars, from_wire(enroll_feats)).astype(kv_dtype)
             prompt = self.sft.apply(
                 params, task_ids,
                 enroll_feats if with_enroll else None, mix_feats,
@@ -879,7 +905,7 @@ class ContinuousBatchingEngine:
                 meta_i=jnp.asarray(meta_i),
                 rngs=jnp.asarray(rngs),
                 meta_f=jnp.asarray(meta_f),
-                feat_params=self.feature_params,
+                feat_params=self._feat_packed,
             )
             if any(u is not None for u in replaced):
                 self._pending_stashes.append((replaced, stash))
