@@ -691,6 +691,33 @@ class TestWaveformAdmission:
         np.testing.assert_array_equal(results[2].semantic_ids,
                                       np.asarray(ref_f[1][0]))
 
+    def test_fused_frontend_matches_split(self, setup, frontend_params):
+        """fuse_frontend=True (frontend traced into the prefill program)
+        and the default split mode (separate jitted frontend program)
+        produce bit-identical tokens — same math, different program
+        boundaries (split exists because the fused HLO compiled >40 min
+        on the remote-compile deployment)."""
+        cfg, sft, params, rng = setup
+        mix = rng.standard_normal(56).astype(np.float32) * 0.5
+        enr = rng.standard_normal(36).astype(np.float32) * 0.5
+        reqs = lambda: [  # noqa: E731 - fresh Request objects per engine
+            Request(task_id=1, mix_wav=mix, enroll_wav=enr,
+                    global_length=3, semantic_length=7, do_sample=False,
+                    uid=2),
+            Request(task_id=0, mix_wav=mix[:40], global_length=4,
+                    semantic_length=6, do_sample=False, uid=3)]
+        outs = []
+        for fused in (False, True):
+            eng = self._engine(sft, params, frontend_params,
+                               wav_wire="float32", fuse_frontend=fused)
+            assert eng.fuse_frontend is fused
+            outs.append(eng.run(reqs(), jax.random.PRNGKey(0)))
+        for uid in (2, 3):
+            np.testing.assert_array_equal(outs[0][uid].global_ids,
+                                          outs[1][uid].global_ids)
+            np.testing.assert_array_equal(outs[0][uid].semantic_ids,
+                                          outs[1][uid].semantic_ids)
+
     def test_wav_validation(self, setup, frontend_params):
         cfg, sft, params, rng = setup
         plain = make_engine(sft, params)  # no feature_fn

@@ -30,8 +30,12 @@ carrying RAW AUDIO (``Request.mix_wav``/``enroll_wav``) — int16 samples
 cross the host->device link (~2.5x fewer bytes than bf16 feature frames;
 the link is the measured serving bottleneck at ~70 MB/s, and transfers do
 NOT overlap dispatched compute on this backend — benchmarks/
-probe_staging.py) and the SSL frontend runs batched inside the prefill
-program. Mix and enroll choose their wire independently (hybrid): a
+probe_staging.py) and the SSL frontend runs batched on device at admission
+time — by default as its own jitted per-bucket program feeding the feats
+prefill program (``fuse_frontend=True`` traces it into the prefill program
+instead; bit-identical, but the monolithic HLO compiles pathologically on
+remote-compile backends). Mix and enroll choose their wire independently
+(hybrid): a
 frontend with global attention computes different features for
 bucket-padded audio, so partial-bucket enrolls ride as exact-length
 precomputed features while full-segment audio rides the sample wire with
@@ -153,14 +157,27 @@ class ContinuousBatchingEngine:
         wav_buckets: Optional[Sequence[int]] = None,
         enroll_wav_buckets: Optional[Sequence[int]] = None,
         wav_wire: str = "int16",
+        fuse_frontend: bool = False,
     ):
         """``feature_fn(feature_params, wav (B, N)) -> (B, F, D)`` enables
         waveform admission (Request.mix_wav): the SSL frontend runs batched
-        on device inside the prefill program and raw samples cross the
-        host->device link instead of feature frames. ``wav_buckets`` are
-        sample-length buckets (pow-2-ish, like ``mix_buckets``);
-        ``wav_wire`` is the staging dtype on the link: "int16" (exact for
-        16-bit PCM, half the bytes of fp32), "float16" or "float32"."""
+        on device at admission time and raw samples cross the host->device
+        link instead of feature frames. ``wav_buckets`` are sample-length
+        buckets (pow-2-ish, like ``mix_buckets``); ``wav_wire`` is the
+        staging dtype on the link: "int16" (exact for 16-bit PCM, half the
+        bytes of fp32), "float16" or "float32".
+
+        ``fuse_frontend`` picks where the frontend runs. False (default):
+        a SEPARATE jitted per-bucket program whose feature output stays on
+        device and feeds the regular feats prefill program — one extra
+        dispatch per wave (~25 ms on tunnel-attached chips), but each
+        program compiles in minutes. True: the frontend is traced INTO the
+        prefill+insert program (single dispatch per wave) — on the
+        remote-compile deployment that monolithic HLO (full SSL encoder +
+        prompt assembly + LM prefill + pool scatter) compiled
+        pathologically (>40 min fresh, measured), so fusion is opt-in for
+        backends with a fast local compiler. Outputs are bit-identical
+        either way (same programs, same dtypes)."""
         self.sft = sft
         self.cfg = cfg = sft.cfg
         if dtype is not None:
@@ -207,14 +224,32 @@ class ContinuousBatchingEngine:
         self._feat_packed = None
         self._feat_spec = None
         self._feat_skeleton = None
+        self.fuse_frontend = fuse_frontend
         if feature_fn is not None and feature_params is not None:
-            from ..utils.param_pack import pack_pytree
+            from ..utils.param_pack import pack_pytree, unpack_pytree
 
             fp = feature_params
             self._feat_skeleton = jax.tree_util.tree_map(
                 lambda p: jax.ShapeDtypeStruct(jnp.shape(p),
                                                jnp.asarray(p).dtype), fp)
             self._feat_packed, self._feat_spec = pack_pytree(fp)
+
+            kv_dtype = self.kv_dtype
+
+            @jax.jit
+            def _frontend_program(feat_packed, wav_wire_rows):
+                """Split-mode frontend: wire decode + SSL features for one
+                staged wave buffer. Output (B, F, D) in the engine dtype
+                stays on device and feeds the feats prefill program."""
+                fvars = unpack_pytree(feat_packed, self._feat_spec,
+                                      self._feat_skeleton)
+                if wav_wire_rows.dtype == jnp.int16:
+                    wav = wav_wire_rows.astype(jnp.float32) * (1.0 / 32768.0)
+                else:
+                    wav = wav_wire_rows.astype(jnp.float32)
+                return feature_fn(fvars, wav).astype(kv_dtype)
+
+            self._frontend_program = _frontend_program
         if wav_wire not in ("int16", "float16", "float32"):
             raise ValueError(f"wav_wire {wav_wire!r} not in "
                              "('int16', 'float16', 'float32')")
@@ -894,18 +929,33 @@ class ContinuousBatchingEngine:
             mix_in = _wave_input(mk, mix_refs, mix_b)
             enroll_in = _wave_input(ek if ek != "-" else "f", enr_refs,
                                     enr_b)
+            mix_is_wav, enroll_is_wav = mk == "w", ek == "w"
+            if not self.fuse_frontend:
+                # split mode (default): frontend runs as its OWN jitted
+                # program per staged wave buffer — features stay on device
+                # and the (already compiled) feats prefill program consumes
+                # them. One extra dispatch per wave; no monolithic HLO.
+                if mix_is_wav:
+                    mix_in = self._frontend_program(self._feat_packed,
+                                                    mix_in)
+                    mix_is_wav = False
+                if enroll_is_wav:
+                    enroll_in = self._frontend_program(self._feat_packed,
+                                                       enroll_in)
+                    enroll_is_wav = False
             self.pool, self.state, stash = self._prefill_insert(
                 self.params, self.pool, self.state,
                 with_enroll=enr_b is not None,
-                mix_is_wav=mk == "w",
-                enroll_is_wav=ek == "w",
+                mix_is_wav=mix_is_wav,
+                enroll_is_wav=enroll_is_wav,
                 tables=jnp.asarray(tables),
                 mix_feats=mix_in,
                 enroll_feats=enroll_in,
                 meta_i=jnp.asarray(meta_i),
                 rngs=jnp.asarray(rngs),
                 meta_f=jnp.asarray(meta_f),
-                feat_params=self._feat_packed,
+                feat_params=(self._feat_packed
+                             if mix_is_wav or enroll_is_wav else None),
             )
             if any(u is not None for u in replaced):
                 self._pending_stashes.append((replaced, stash))
