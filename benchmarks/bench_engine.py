@@ -16,7 +16,8 @@ import numpy as np
 
 
 def main(num_slots: int = 8, num_requests: int = 24, dtype: str = "bfloat16",
-         poll_interval: int = 256, wav_input: bool = False):
+         poll_interval: int = 256, wav_input: bool = False,
+         eager_drain: bool = True):
     import jax
     import jax.numpy as jnp
 
@@ -84,6 +85,7 @@ def main(num_slots: int = 8, num_requests: int = 24, dtype: str = "bfloat16",
         sft, params, num_slots=num_slots, block_size=64,
         max_global=32, max_semantic=256, mix_buckets=(256,),
         dtype=jnp.bfloat16 if dtype == "bfloat16" else None,
+        eager_drain=eager_drain,
         **extra,
     )
     # warmup: fill the pool once end-to-end (compiles prefill waves + step)
@@ -104,6 +106,7 @@ def main(num_slots: int = 8, num_requests: int = 24, dtype: str = "bfloat16",
         "dtype": dtype,
         "kv": "paged",
         "input": "wav" if wav_input else "feats",
+        "drain": "eager" if eager_drain else "deferred",
         "poll_interval": poll_interval,
         "tokens_per_sec": round(tokens / dt, 1),
         "requests_per_sec": round(num_requests / dt, 2),
@@ -126,4 +129,6 @@ if __name__ == "__main__":
         kw["poll_interval"] = int(sys.argv[4])
     if len(sys.argv) > 5:
         kw["wav_input"] = bool(int(sys.argv[5]))
+    if len(sys.argv) > 6:
+        kw["eager_drain"] = bool(int(sys.argv[6]))
     main(**kw)

@@ -225,6 +225,37 @@ class TestEngine:
                 np.asarray(solo[uid].semantic_ids),
                 err_msg=f"uid {uid} semantic")
 
+    def test_deferred_drain_matches_eager(self, setup):
+        """eager_drain=False batches every stashed-output fetch into one
+        end-of-run device_get; tokens must be identical to the per-wave
+        eager drain (only fetch timing may differ)."""
+        cfg, sft, params, rng = setup
+        lengths = [(2, 3), (4, 9), (1, 6), (3, 12), (2, 5), (4, 4)]
+        feats = [rng.standard_normal((10, 12)).astype(np.float32)
+                 for _ in lengths]
+
+        def reqs():
+            return [Request(task_id=i % 3, mix_feats=feats[i],
+                            enroll_feats=feats[i] if i % 3 else None,
+                            global_length=g, semantic_length=s,
+                            do_sample=False, uid=200 + i)
+                    for i, (g, s) in enumerate(lengths)]
+
+        eager = make_engine(sft, params).run(reqs(), jax.random.PRNGKey(0))
+        deferred_eng = make_engine(sft, params, eager_drain=False)
+        deferred = deferred_eng.run(reqs(), jax.random.PRNGKey(0))
+        # 6 requests through 2 slots => multiple displacing waves, but all
+        # stashes must have drained in (at most) one batched fetch
+        assert deferred_eng.stats()["stash_fetches"] <= 1
+        assert set(eager) == set(deferred)
+        for uid in eager:
+            np.testing.assert_array_equal(
+                np.asarray(eager[uid].global_ids),
+                np.asarray(deferred[uid].global_ids))
+            np.testing.assert_array_equal(
+                np.asarray(eager[uid].semantic_ids),
+                np.asarray(deferred[uid].semantic_ids))
+
     def test_cancel_mid_flight(self, setup):
         """Cancelling one request frees its slot/blocks and does not perturb
         the surviving request's greedy output."""

@@ -158,6 +158,7 @@ class ContinuousBatchingEngine:
         enroll_wav_buckets: Optional[Sequence[int]] = None,
         wav_wire: str = "int16",
         fuse_frontend: bool = False,
+        eager_drain: bool = True,
     ):
         """``feature_fn(feature_params, wav (B, N)) -> (B, F, D)`` enables
         waveform admission (Request.mix_wav): the SSL frontend runs batched
@@ -177,7 +178,15 @@ class ContinuousBatchingEngine:
         prompt assembly + LM prefill + pool scatter) compiled
         pathologically (>40 min fresh, measured), so fusion is opt-in for
         backends with a fast local compiler. Outputs are bit-identical
-        either way (same programs, same dtypes)."""
+        either way (same programs, same dtypes).
+
+        ``eager_drain`` picks when stashed outputs (from displacing
+        inserts) are fetched. True (default): once per wave, right after
+        the first decode chunk of the next wave is dispatched — overlaps
+        the fetch with decode when the link allows it. False: all stashes
+        accumulate on device and drain in ONE batched fetch when the run
+        ends — fewer round trips on links that serialize transfers with
+        compute. Results are identical; only fetch timing changes."""
         self.sft = sft
         self.cfg = cfg = sft.cfg
         if dtype is not None:
@@ -225,6 +234,7 @@ class ContinuousBatchingEngine:
         self._feat_spec = None
         self._feat_skeleton = None
         self.fuse_frontend = fuse_frontend
+        self.eager_drain = eager_drain
         if feature_fn is not None and feature_params is not None:
             from ..utils.param_pack import pack_pytree, unpack_pytree
 
@@ -1006,10 +1016,15 @@ class ContinuousBatchingEngine:
         """Fetch the outputs stashed by displacing inserts. Call AFTER
         dispatching the next decode chunks so the fetch round trip overlaps
         with decode executing on device."""
+        if not self._pending_stashes:
+            return []
         out: List[Result] = []
-        for replaced, stash in self._pending_stashes:
-            data = jax.device_get(stash)
-            self._stats["stash_fetches"] += 1
+        # ONE batched fetch for every pending stash: device_get on the whole
+        # list dispatches all leaf fetches together (a per-stash fetch costs
+        # a full round trip each on tunnel-attached chips)
+        fetched = jax.device_get([s for _, s in self._pending_stashes])
+        self._stats["stash_fetches"] += 1
+        for (replaced, _), data in zip(self._pending_stashes, fetched):
             for j, uid in enumerate(replaced):
                 if uid is None:
                     continue
@@ -1143,10 +1158,11 @@ class ContinuousBatchingEngine:
                     self.prestage(pending)
                     staged = True
                 if first:
-                    # overlap: fetch the previous wave's stashed outputs
-                    # while these decode chunks execute on device
-                    for r in self.drain_stashes():
-                        results[r.uid] = r
+                    if self.eager_drain:
+                        # overlap: fetch the previous wave's stashed outputs
+                        # while these decode chunks execute on device
+                        for r in self.drain_stashes():
+                            results[r.uid] = r
                     first = False
             i += min(active)
             if i > 400000:
