@@ -227,3 +227,57 @@ class TestFlexiConverterRoundtrip:
         ac2, s2 = m.apply(back, wav, sem, method="encode")
         np.testing.assert_array_equal(np.asarray(ac1), np.asarray(ac2))
         np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+
+
+class TestMatchFrameRate:
+    """CLI-level rate adapter: the model consumes the semantic stream at 2x
+    the acoustic frame rate; teacher frontends run at their own rates
+    (SenseVoice LFR 16.67 Hz, fbank 100 Hz) and must be resampled or the
+    model's min-trim truncates the reconstruction to the shorter stream."""
+
+    def test_identity_and_endpoints(self, rng):
+        from unified_audio_tpu.models.hcodec.flexicodec import (
+            match_frame_rate)
+
+        x = _sem(rng, 2, 10, 4)
+        np.testing.assert_array_equal(np.asarray(match_frame_rate(x, 10)),
+                                      np.asarray(x))
+        up = np.asarray(match_frame_rate(x, 37))
+        assert up.shape == (2, 37, 4)
+        np.testing.assert_allclose(up[:, 0], np.asarray(x)[:, 0], atol=1e-6)
+        np.testing.assert_allclose(up[:, -1], np.asarray(x)[:, -1],
+                                   atol=1e-6)
+        down = np.asarray(match_frame_rate(x, 5))
+        assert down.shape == (2, 5, 4)
+
+    def test_linear_between_frames(self, rng):
+        from unified_audio_tpu.models.hcodec.flexicodec import (
+            match_frame_rate)
+
+        # ramp in time: linear resampling must reproduce the ramp exactly
+        t = 8
+        ramp = jnp.broadcast_to(
+            jnp.arange(t, dtype=jnp.float32)[None, :, None], (1, t, 3))
+        up = np.asarray(match_frame_rate(ramp, 15))
+        np.testing.assert_allclose(
+            up[0, :, 0], np.linspace(0, t - 1, 15), atol=1e-5)
+
+    def test_frontend_rate_mismatch_no_truncation(self, rng):
+        """fbank (100 Hz) rate-matched to 2x the acoustic rate encodes the
+        FULL utterance: acoustic codes cover samples//hop frames."""
+        from unified_audio_tpu.models.hcodec.flexicodec import (
+            match_frame_rate)
+
+        cfg = tiny_cfg()
+        m = FlexiCodec(cfg)
+        T = 6
+        n = cfg.hop_length * T
+        wav = jnp.asarray(rng.standard_normal((1, n)).astype(np.float32))
+        sem = fbank_semantic(wav, sample_rate=16000, out_dim=cfg.ssl_dim)
+        assert sem.shape[1] != 2 * T  # the mismatch being fixed
+        sem = match_frame_rate(sem, 2 * (n // cfg.hop_length))
+        variables = m.init(jax.random.PRNGKey(0), wav, sem, train=False)
+        ac, sq = m.apply(variables, wav, sem, method="encode")
+        assert ac.shape[1] == T  # full-length, nothing trimmed away
+        rec = m.apply(variables, ac, sq, method="decode")
+        assert rec.shape[-1] == n

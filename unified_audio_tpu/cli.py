@@ -349,9 +349,31 @@ def cmd_codec(args):
 
     if args.model == "flexicodec":
         from .models.hcodec.flexicodec import (
-            FlexiCodec, FlexiCodecConfig, fbank_semantic, sensevoice_semantic)
+            FlexiCodec, FlexiCodecConfig, fbank_semantic, match_frame_rate,
+            sensevoice_semantic)
 
-        cfg = FlexiCodecConfig(sample_rate=TARGET_SR)
+        # load the checkpoint FIRST: its convnext_encoder input projection
+        # fixes ssl_dim (the semantic stream below must be built at the
+        # converted width, not the config default)
+        sd = None
+        if args.ckpt:
+            import torch
+
+            sd = torch.load(args.ckpt, map_location="cpu",
+                            weights_only=False) \
+                if not str(args.ckpt).endswith(".safetensors") else None
+            if sd is None:
+                from safetensors.torch import load_file
+
+                sd = load_file(args.ckpt)
+            sd = sd.get("state_dict", sd) if isinstance(sd, dict) else sd
+        cfg_kw = dict(sample_rate=TARGET_SR)
+        if sd is not None:
+            w = sd.get("convnext_encoder.0.weight_v",
+                       sd.get("convnext_encoder.0.weight"))
+            if w is not None:
+                cfg_kw["ssl_dim"] = int(w.shape[1])
+        cfg = FlexiCodecConfig(**cfg_kw)
         model = FlexiCodec(cfg)
         x = jnp.asarray(wav)
         # semantic stream: the exact reference teacher frontend (funasr
@@ -367,22 +389,17 @@ def cmd_codec(args):
         else:
             sem = fbank_semantic(x, sample_rate=TARGET_SR,
                                  out_dim=cfg.ssl_dim)
-        if args.ckpt:
-            import torch
-
+        # the model consumes the semantic stream at 2x the acoustic frame
+        # rate (internal /2 downsample + min-trim vs acoustic latents);
+        # teacher frontends run at their own rates, so rate-match here or
+        # the trim truncates the reconstruction to the shorter stream
+        sem = match_frame_rate(sem, 2 * (wav.shape[-1] // cfg.hop_length))
+        if sd is not None:
             from .utils.convert_hcodec import convert_flexicodec
 
-            sd = torch.load(args.ckpt, map_location="cpu",
-                            weights_only=False) \
-                if not str(args.ckpt).endswith(".safetensors") else None
-            if sd is None:
-                from safetensors.torch import load_file
-
-                sd = load_file(args.ckpt)
-            sd = sd.get("state_dict", sd) if isinstance(sd, dict) else sd
             variables = convert_flexicodec(sd, cfg)
-            print(f"converted FlexiCodec weights from {args.ckpt}",
-                  file=sys.stderr)
+            print(f"converted FlexiCodec weights from {args.ckpt} "
+                  f"(ssl_dim={cfg.ssl_dim})", file=sys.stderr)
         else:
             print("WARNING: random weights — reconstruction is not "
                   "meaningful", file=sys.stderr)

@@ -534,6 +534,27 @@ def sensevoice_semantic(wav, cmvn_file, out_dim=1024, sample_rate=16000):
     return jnp.tile(feats, (1, 1, reps))[..., :out_dim]
 
 
+def match_frame_rate(feats, num_frames: int):
+    """Linearly resample (B, T, C) features along time to ``num_frames``.
+
+    The model consumes the semantic stream at 2x the acoustic frame rate:
+    it downsamples by ``semantic_downsample_factor`` (2) and then only
+    min-trims a small residual mismatch against the acoustic latents
+    (modeling_flexicodec.py:576 docstring, :617-623 trim). Teacher
+    frontends run at their own rates (SenseVoice fbank+LFR = 16.67 Hz,
+    plain fbank = 100 Hz), so callers must rate-match to
+    ``2 * (samples // hop_length)`` before encoding or the trim truncates
+    the reconstruction to the shorter stream."""
+    t = feats.shape[1]
+    if t == num_frames:
+        return feats
+    pos = jnp.linspace(0.0, float(t - 1), num_frames)
+    lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, t - 1)
+    hi = jnp.clip(lo + 1, 0, t - 1)
+    w = (pos - lo.astype(pos.dtype))[None, :, None]
+    return feats[:, lo] * (1.0 - w) + feats[:, hi] * w
+
+
 def teacher_features(ssl_model, ssl_variables, wav):
     """Frozen-teacher target (SenseVoice role; any frozen models/ssl
     encoder). Mean of all hidden states, stop-gradded."""

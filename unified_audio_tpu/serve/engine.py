@@ -113,6 +113,16 @@ def _scatter_rows(zero, buf, pos, rows):
     return zero.at[pos].set(buf[rows], mode="drop", unique_indices=True)
 
 
+def _wire_to_float(x):
+    """Decode staged waveform rows from the wire dtype (traceable). Shared
+    by the split-mode frontend program and the fused prefill path — the two
+    MUST decode identically for the documented fused/split bit-equality
+    guarantee (and for int16 exactness vs the host feature path)."""
+    if x.dtype == jnp.int16:
+        return x.astype(jnp.float32) * (1.0 / 32768.0)
+    return x.astype(jnp.float32)
+
+
 def _next_pow2(n: int) -> int:
     return 1 << max(n - 1, 0).bit_length()
 
@@ -235,10 +245,13 @@ class ContinuousBatchingEngine:
         self._feat_skeleton = None
         self.fuse_frontend = fuse_frontend
         self.eager_drain = eager_drain
-        if feature_fn is not None and feature_params is not None:
+        if feature_fn is not None:
+            # stateless frontends (feature_params=None, e.g. a pure fbank
+            # fn) pack the empty pytree — the frontend program must exist
+            # for every engine that can admit waveform requests
             from ..utils.param_pack import pack_pytree, unpack_pytree
 
-            fp = feature_params
+            fp = self.feature_params
             self._feat_skeleton = jax.tree_util.tree_map(
                 lambda p: jax.ShapeDtypeStruct(jnp.shape(p),
                                                jnp.asarray(p).dtype), fp)
@@ -253,11 +266,8 @@ class ContinuousBatchingEngine:
                 stays on device and feeds the feats prefill program."""
                 fvars = unpack_pytree(feat_packed, self._feat_spec,
                                       self._feat_skeleton)
-                if wav_wire_rows.dtype == jnp.int16:
-                    wav = wav_wire_rows.astype(jnp.float32) * (1.0 / 32768.0)
-                else:
-                    wav = wav_wire_rows.astype(jnp.float32)
-                return feature_fn(fvars, wav).astype(kv_dtype)
+                return feature_fn(
+                    fvars, _wire_to_float(wav_wire_rows)).astype(kv_dtype)
 
             self._frontend_program = _frontend_program
         if wav_wire not in ("int16", "float16", "float32"):
@@ -364,10 +374,6 @@ class ContinuousBatchingEngine:
             do_samples = meta_i[:, 7] != 0
             temps, top_ps = meta_f[:, 0], meta_f[:, 1]
 
-            def from_wire(x):
-                if x.dtype == jnp.int16:
-                    return x.astype(jnp.float32) * (1.0 / 32768.0)
-                return x.astype(jnp.float32)
 
             if mix_is_wav or (enroll_is_wav and with_enroll):
                 from ..utils.param_pack import unpack_pytree
@@ -379,10 +385,10 @@ class ContinuousBatchingEngine:
                                       self._feat_skeleton)
             if mix_is_wav:
                 mix_feats = self.feature_fn(
-                    fvars, from_wire(mix_feats)).astype(kv_dtype)
+                    fvars, _wire_to_float(mix_feats)).astype(kv_dtype)
             if enroll_is_wav and with_enroll:
                 enroll_feats = self.feature_fn(
-                    fvars, from_wire(enroll_feats)).astype(kv_dtype)
+                    fvars, _wire_to_float(enroll_feats)).astype(kv_dtype)
             prompt = self.sft.apply(
                 params, task_ids,
                 enroll_feats if with_enroll else None, mix_feats,
@@ -950,8 +956,20 @@ class ContinuousBatchingEngine:
                                                     mix_in)
                     mix_is_wav = False
                 if enroll_is_wav:
-                    enroll_in = self._frontend_program(self._feat_packed,
-                                                       enroll_in)
+                    if all(ref is None for ref in enr_refs):
+                        # enroll-less wave (pure-SE traffic): every enroll
+                        # row is compacted out in-graph (n_head=1), value-
+                        # independently — skip a full SSL pass over the
+                        # all-zero sample buffer and hand the prefill the
+                        # cached zero FEATURE template instead
+                        shape, dt = self._row_spec(
+                            "f", self._frames_for(enr_b))
+                        enroll_in = self._gather_rows(
+                            [None] * b_pad, b_pad, shape,
+                            dtype=jnp.dtype(dt.name))
+                    else:
+                        enroll_in = self._frontend_program(
+                            self._feat_packed, enroll_in)
                     enroll_is_wav = False
             self.pool, self.state, stash = self._prefill_insert(
                 self.params, self.pool, self.state,
@@ -1041,13 +1059,9 @@ class ContinuousBatchingEngine:
         return bool(self.admit_many([req], rng))
 
     def _block_bound(self) -> int:
-        """Bucketed allocation high-water mark: the STATIC prefix bound for
-        the decode read. Power-of-two buckets (capped at the pool size)
-        bound the set of compiled step programs; growing occupancy only
-        recompiles at bucket crossings."""
-        hw = self.allocator.high_water()
-        b = -(-hw // 64) * 64  # 64-block buckets: <=7 step variants at
-        return min(max(b, 16), self.num_blocks)  # default pool sizes
+        """Static decode-read prefix bound (allocator-bucketed; see
+        BlockAllocator.bounded_high_water)."""
+        return self.allocator.bounded_high_water(self.num_blocks)
 
     def step(self, n: int = 1):
         lm_params = self.params["params"]["lm"]

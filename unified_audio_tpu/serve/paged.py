@@ -85,6 +85,17 @@ class BlockAllocator:
         """1 + the highest allocated block index (>= 1: trash block)."""
         return (max(self._allocated) + 1) if self._allocated else 1
 
+    def bounded_high_water(self, num_blocks: int, bucket: int = 64,
+                           floor: int = 16) -> int:
+        """Bucketed allocation high-water mark: the STATIC prefix bound for
+        a paged decode read. Power-of-two-ish buckets (capped at the pool
+        size) bound the set of compiled step programs; growing occupancy
+        only recompiles at bucket crossings. The 64-block granularity must
+        match the Pallas flash-decode kernel's chunk constraint — keeping
+        it HERE keeps every engine sharing this allocator consistent."""
+        b = -(-self.high_water() // bucket) * bucket
+        return min(max(b, floor), num_blocks)
+
 
 def _rms(x, weight, eps=1e-6):
     var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)

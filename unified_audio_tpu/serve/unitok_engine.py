@@ -337,6 +337,13 @@ class UniTokEngine:
         if not isinstance(rng, np.random.Generator):
             rng = np.random.default_rng(
                 np.asarray(jax.random.key_data(rng), np.uint32))
+        # validate the whole wave BEFORE any slot/block mutation: a raise
+        # mid-loop would leave earlier requests' slots marked occupied with
+        # no device state (the UniSE engine validates up front the same way)
+        for r in reqs:
+            if r.num_frames > self.max_frames:
+                raise ValueError(
+                    f"num_frames {r.num_frames} > max {self.max_frames}")
         sig = self._signature(reqs[0])
         slots = self._free_slots()
         take = []
@@ -345,9 +352,6 @@ class UniTokEngine:
                 break
             if self._signature(r) != sig:
                 continue
-            if r.num_frames > self.max_frames:
-                raise ValueError(
-                    f"num_frames {r.num_frames} > max {self.max_frames}")
             steps = r.num_frames + self.K - 1
             # prompt length = 1 task + (sep + bucket per segment) + final sep
             plen = 1 + sum(1 + b for b in sig if b is not None) + 1
@@ -410,11 +414,10 @@ class UniTokEngine:
         return [r.uid for _, r, _ in take]
 
     def _block_bound(self) -> int:
-        """Bucketed allocation high-water mark (see engine.py; with a
-        SHARED allocator the bound covers both engines' blocks)."""
-        hw = self.allocator.high_water()
-        b = -(-hw // 64) * 64  # 64-block buckets: <=7 step variants at
-        return min(max(b, 16), self.num_blocks)  # default pool sizes
+        """Static decode-read prefix bound; with a SHARED allocator the
+        bound covers both engines' blocks (BlockAllocator.bounded_high_water
+        keeps the bucket granularity consistent across engines)."""
+        return self.allocator.bounded_high_water(self.num_blocks)
 
     def step(self, n: int = 1) -> None:
         self.pool, self.state = self._step_n(
