@@ -29,6 +29,31 @@ def main():
     except Exception:
         pass
 
+    # Watchdog on first device touch: a wedged relay hangs jax.devices()
+    # forever at ~0% CPU (observed outages of 3+ hours — the driver's
+    # bench run must FAIL, not stall the round). The touch runs in a
+    # daemon thread; on timeout we report and hard-exit (the wedged
+    # runtime cannot be interrupted from Python).
+    import os
+    import threading
+
+    box: dict = {}
+
+    def _touch():
+        box["devices"] = jax.devices()
+
+    th = threading.Thread(target=_touch, daemon=True)
+    th.start()
+    th.join(timeout=600.0)
+    if "devices" not in box:
+        print(json.dumps({
+            "metric": "hcodec10_encode_decode_rtfx", "value": 0.0,
+            "unit": "x_realtime_per_chip", "vs_baseline": 0.0,
+            "platform": "unreachable",
+            "error": "device touch hung >600 s (TPU relay wedged)",
+        }), flush=True)
+        os._exit(2)
+
     # fail LOUDLY on CPU fallback: a silently-CPU bench records a number
     # that proves nothing about the chip
     platform = jax.devices()[0].platform
