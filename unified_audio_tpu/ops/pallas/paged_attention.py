@@ -148,129 +148,25 @@ def paged_flash_decode(q, kpool, vpool, tables, index, li,
 # buffer ever exists. The two earlier formulations above lost to
 # per-(slot, block) DMA latency and to per-head grid overhead at SMALL
 # pools; this one targets exactly the large-prefix regime they never ran
-# in. Measured (v5e, slope method): see docstring of
-# paged_flash_decode_stream.
+# in. A first 5-D cut (pools (L, NB, BS, H, hd)) matched XLA numerically
+# but its chunk DMAs hit padded (16, 128) tiles on the (H=8, hd=64)
+# trailing dims and measured ~3.8x less HBM bandwidth than the flat
+# layout below — it was deleted after the flat variant won on chip
+# (round-3 notes). Measured (v5e, slope method): see the docstring of
+# paged_flash_decode_stream_flat.
 # ---------------------------------------------------------------------------
-
-
-def _stream_kernel(li_ref, q_ref, vis_ref, kpool_ref, vpool_ref,
-                   out_ref, acc_ref, m_ref, l_ref):
-    i = pl.program_id(0)
-    num_i = pl.num_programs(0)
-
-    @pl.when(i == 0)
-    def _init():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
-        l_ref[:] = jnp.zeros_like(l_ref)
-
-    k = kpool_ref[0].astype(jnp.float32)   # (C, BS, H, hd)
-    v = vpool_ref[0].astype(jnp.float32)
-    c, bs, h, hd = k.shape
-    ck = c * bs
-    k = k.reshape(ck, h, hd)
-    v = v.reshape(ck, h, hd)
-    q = q_ref[:].astype(jnp.float32)       # (S, H, hd)
-    s = q.shape[0]
-
-    vis = vis_ref[:] != 0                  # (S, CK) int8 chunk -> bool
-
-    scale = hd ** -0.5
-    m_old = m_ref[:]                       # (S, H)
-    l_old = l_ref[:]
-    for hh in range(h):
-        # (S, hd) x (CK, hd)^T -> (S, CK)
-        logits = jax.lax.dot_general(
-            q[:, hh, :], k[:, hh, :],
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        logits = jnp.where(vis, logits, NEG_INF)
-        m_new = jnp.maximum(m_old[:, hh], jnp.max(logits, axis=-1))
-        alpha = jnp.exp(m_old[:, hh] - m_new)              # (S,)
-        p = jnp.exp(logits - m_new[:, None])               # (S, CK)
-        l_new = l_old[:, hh] * alpha + jnp.sum(p, axis=-1)
-        pv = jax.lax.dot_general(
-            p, v[:, hh, :],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                  # (S, hd)
-        acc_ref[:, hh, :] = acc_ref[:, hh, :] * alpha[:, None] + pv
-        m_ref[:, hh] = m_new
-        l_ref[:, hh] = l_new
-
-    @pl.when(i == num_i - 1)
-    def _finish():
-        out_ref[:] = (acc_ref[:]
-                      / jnp.maximum(l_ref[:], 1e-30)[:, :, None]).astype(
-            out_ref.dtype)
 
 
 def visibility_mask(lmap, index, block_size: int):
     """(S, NB) inverse block map + (S,) positions -> (S, NB*BS) int8 key
     visibility, layer-invariant: build ONCE per decode step and reuse for
-    every layer's kernel call."""
+    every layer's kernel call (serve/paged.py derives BOTH the kernel's
+    visibility tile and the XLA path's additive mask from this)."""
     s, nb = lmap.shape
     key_pos = lmap[:, :, None] * block_size + \
         jnp.arange(block_size)[None, None]
     vis = (lmap[:, :, None] >= 0) & (key_pos <= index[:, None, None])
     return vis.reshape(s, nb * block_size).astype(jnp.int8)
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("chunk_blocks", "num_active_blocks",
-                                    "interpret"))
-def paged_flash_decode_stream(q, kpool, vpool, vis, li,
-                              chunk_blocks: int = 8,
-                              num_active_blocks: int | None = None,
-                              interpret: bool = False):
-    """Full-stream paged flash decode: every slot against the pool prefix.
-
-    q (S, H, hd); kpool/vpool (L, NB, BS, H, hd); vis (S, NB*BS) int8 key
-    visibility from :func:`visibility_mask` (layer-invariant — computed
-    once per step); li scalar layer index (scalar-prefetched: the kernel
-    slices the stacked pool in place, nothing is materialized);
-    num_active_blocks STATIC prefix bound (multiple of chunk_blocks).
-
-    Chunks of ``chunk_blocks`` physical blocks stream through VMEM with
-    Pallas' grid double buffering; online softmax keeps (S, H) running
-    max/sum and an (S, H, hd) fp32 accumulator in scratch. No (S, NB*BS)
-    logits buffer ever exists. Numerically matches the XLA full-pool path
-    (tests/test_pallas_kernels.py).
-    """
-    s_slots, h, hd = q.shape
-    _, nb_total, bs, _, _ = kpool.shape
-    nb = nb_total if num_active_blocks is None else num_active_blocks
-    c = min(chunk_blocks, nb)
-    if nb % c:
-        raise ValueError(f"num_active_blocks {nb} not divisible by "
-                         f"chunk_blocks {c}")
-    grid = (nb // c,)
-    kernel = pl.pallas_call(
-        _stream_kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((s_slots, h, hd), lambda i, l: (0, 0, 0)),
-                pl.BlockSpec((s_slots, c * bs), lambda i, l: (0, i)),
-                pl.BlockSpec((1, c, bs, h, hd),
-                             lambda i, l: (l[0], i, 0, 0, 0)),
-                pl.BlockSpec((1, c, bs, h, hd),
-                             lambda i, l: (l[0], i, 0, 0, 0)),
-            ],
-            out_specs=pl.BlockSpec((s_slots, h, hd), lambda i, l: (0, 0, 0)),
-            scratch_shapes=[
-                pltpu.VMEM((s_slots, h, hd), jnp.float32),
-                pltpu.VMEM((s_slots, h), jnp.float32),
-                pltpu.VMEM((s_slots, h), jnp.float32),
-            ],
-        ),
-        out_shape=jax.ShapeDtypeStruct((s_slots, h, hd), q.dtype),
-        interpret=interpret,
-    )
-    return kernel(jnp.asarray(li, jnp.int32).reshape(1), q, vis,
-                  kpool, vpool)
 
 
 def _stream_kernel_flat(li_ref, q_ref, vis_ref, kpool_ref, vpool_ref,
@@ -340,6 +236,16 @@ def paged_flash_decode_stream_flat(q, kpool, vpool, vis, li, num_heads: int,
     s_slots, h, hd = q.shape
     _, nb_total, bs, dh = kpool.shape
     nb = nb_total if num_active_blocks is None else num_active_blocks
+    if nb > nb_total:
+        # an oversized bound would drive the BlockSpec index map past the
+        # pool's end — Pallas out-of-range block reads return garbage
+        # rather than failing, silently corrupting attention output
+        raise ValueError(
+            f"num_active_blocks {nb} exceeds pool capacity {nb_total}")
+    if vis.shape != (s_slots, nb * bs):
+        raise ValueError(
+            f"visibility shape {vis.shape} != (slots, bound*block_size) "
+            f"({s_slots}, {nb * bs})")
     c = min(chunk_blocks, nb)
     if nb % c:
         raise ValueError(f"bound {nb} not divisible by chunk {c}")

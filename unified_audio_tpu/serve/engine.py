@@ -1061,7 +1061,7 @@ class ContinuousBatchingEngine:
     def _block_bound(self) -> int:
         """Static decode-read prefix bound (allocator-bucketed; see
         BlockAllocator.bounded_high_water)."""
-        return self.allocator.bounded_high_water(self.num_blocks)
+        return self.allocator.bounded_high_water()
 
     def step(self, n: int = 1):
         lm_params = self.params["params"]["lm"]

@@ -33,6 +33,8 @@ import jax.numpy as jnp
 
 from ..models.lm.llama import NEG_INF, LlamaConfig
 from ..nn.transformer import apply_rope, rope_cos_sin
+from ..ops.pallas.paged_attention import (paged_flash_decode_stream_flat,
+                                          visibility_mask)
 
 TRASH_BLOCK = 0  # physical block 0 is never allocated; inactive slots write here
 
@@ -63,6 +65,7 @@ class BlockAllocator:
         import heapq
 
         self._heapq = heapq
+        self.num_blocks = num_blocks
         self.free: List[int] = list(range(1, num_blocks))
         self._heapq.heapify(self.free)
         self._allocated: set = set()
@@ -85,16 +88,16 @@ class BlockAllocator:
         """1 + the highest allocated block index (>= 1: trash block)."""
         return (max(self._allocated) + 1) if self._allocated else 1
 
-    def bounded_high_water(self, num_blocks: int, bucket: int = 64,
-                           floor: int = 16) -> int:
+    def bounded_high_water(self, bucket: int = 64) -> int:
         """Bucketed allocation high-water mark: the STATIC prefix bound for
-        a paged decode read. Power-of-two-ish buckets (capped at the pool
-        size) bound the set of compiled step programs; growing occupancy
-        only recompiles at bucket crossings. The 64-block granularity must
-        match the Pallas flash-decode kernel's chunk constraint — keeping
-        it HERE keeps every engine sharing this allocator consistent."""
+        a paged decode read, capped at THIS allocator's capacity. 64-block
+        buckets bound the set of compiled step programs; growing occupancy
+        only recompiles at bucket crossings. The granularity must satisfy
+        the Pallas flash-decode kernel's chunk/lane constraint — keeping
+        the logic HERE keeps every engine sharing this allocator (and its
+        pool) consistent."""
         b = -(-self.high_water() // bucket) * bucket
-        return min(max(b, floor), num_blocks)
+        return min(b, self.num_blocks)
 
 
 def _rms(x, weight, eps=1e-6):
@@ -181,31 +184,36 @@ def paged_decode_embeds(cfg: LlamaConfig, backbone_params, pool, tables,
     )
     lmap = lmap.at[:, TRASH_BLOCK].set(-1)
     lmap = lmap[:, :nb]  # bounded prefix (see docstring)
-    key_pos = lmap[:, :, None] * bs + jnp.arange(bs)[None, None]  # (S,NB,BS)
-    visible = (lmap[:, :, None] >= 0) & (key_pos <= index[:, None, None])
+    # layer-invariant int8 key visibility, built once per step (shared
+    # helper — the kernel and XLA paths must agree on the rule)
+    vis_i8 = visibility_mask(lmap, index, bs)
     if use_kernel:
-        from ..ops.pallas.paged_attention import paged_flash_decode_stream_flat
-
-        vis_i8 = visible.reshape(s_slots, nb * bs).astype(jnp.int8)
         interp = jax.default_backend() != "tpu"
         # chunk*block_size must be a 128-lane multiple for the visibility
         # tile (Mosaic); engines keep pool capacity (and thus every bound)
-        # a 64-block multiple so an even chunk always exists
-        chunk = next((c for c in (16, 8, 4, 2, 1) if nb % c == 0), None)
-        if not interp and (chunk is None or (chunk * bs) % 128):
+        # a 64-block multiple so a valid chunk always exists on TPU
+        chunk = next(c for c in (16, 8, 4, 2, 1) if nb % c == 0)
+        if not interp and (chunk * bs) % 128:
             raise ValueError(
-                f"stream kernel needs num_active_blocks ({nb}) divisible "
-                f"by an even chunk with chunk*block_size ({bs}) % 128 == 0; "
-                "size the pool to a 64-block multiple")
+                f"stream kernel: largest chunk dividing the block bound "
+                f"({nb}) gives chunk*block_size ({chunk * bs}) that is not "
+                "a 128-lane multiple; size the pool to a 64-block multiple")
     else:
-        mask = jnp.where(visible, 0.0, NEG_INF).reshape(s_slots, 1, 1,
-                                                        nb * bs)
+        mask = jnp.where(vis_i8 != 0, 0.0, NEG_INF).reshape(
+            s_slots, 1, 1, nb * bs)
 
-    # scatter target: each slot's current (block, offset); inactive slots are
-    # redirected to the trash block so stale tables cannot corrupt live data
+    # scatter target: each slot's current (block, offset); inactive slots
+    # are redirected to the trash block so stale tables cannot corrupt live
+    # data. Inactive rows take DISTINCT trash offsets: duplicate indices
+    # under unique_indices=True are documented undefined behavior, and with
+    # a shared offset every inactive slot would collide at (li, 0, 0).
+    # Slot counts never exceed block_size (64) in practice; the %bs guard
+    # plus the hint switch below keep larger pools formally correct too.
     blk = jnp.take_along_axis(tables, (index // bs)[:, None], axis=1)[:, 0]
     blk = jnp.where(active, blk, TRASH_BLOCK)
-    off = jnp.where(active, index % bs, 0)
+    off = jnp.where(active, index % bs,
+                    jnp.arange(s_slots, dtype=index.dtype) % bs)
+    unique_scatter = s_slots <= bs
 
     def layer_body(carry, lp):
         # the FULL pool rides the carry and each layer scatters only into
@@ -223,10 +231,10 @@ def paged_decode_embeds(cfg: LlamaConfig, backbone_params, pool, tables,
 
         k_pool = k_pool.at[li, blk, off].set(
             k[:, 0].reshape(s_slots, h * hd).astype(k_pool.dtype),
-            unique_indices=True)
+            unique_indices=unique_scatter)
         v_pool = v_pool.at[li, blk, off].set(
             v[:, 0].reshape(s_slots, h * hd).astype(v_pool.dtype),
-            unique_indices=True)
+            unique_indices=unique_scatter)
         if use_kernel:
             attn = paged_flash_decode_stream_flat(
                 q[:, 0], k_pool, v_pool, vis_i8, li,

@@ -417,7 +417,7 @@ class UniTokEngine:
         """Static decode-read prefix bound; with a SHARED allocator the
         bound covers both engines' blocks (BlockAllocator.bounded_high_water
         keeps the bucket granularity consistent across engines)."""
-        return self.allocator.bounded_high_water(self.num_blocks)
+        return self.allocator.bounded_high_water()
 
     def step(self, n: int = 1) -> None:
         self.pool, self.state = self._step_n(
