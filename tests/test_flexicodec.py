@@ -103,6 +103,15 @@ class TestAlignedMode:
         assert lengths.sum() == T
         rec = m.apply(variables, ac, sq, method="decode")
         assert rec.shape == (1, cfg.hop_length * T)
+        # decode(encode(x)) must match the forward pass: encode's padding
+        # groups carry data-dependent codes, decode's carry the -1 sentinel
+        # — both sides must feed the semantic ConvNeXt decoder the SAME
+        # (zeroed) tail context or the final receptive field diverges.
+        # Tolerance covers the STE-vs-codebook-point drift (see DualCodec
+        # roundtrip test).
+        out = m.apply(variables, wav, sem, train=False)
+        np.testing.assert_allclose(
+            np.asarray(out["recons"]), np.asarray(rec), atol=3e-3, rtol=0)
 
     def test_low_threshold_fewer_groups(self, rng):
         cfg_hi = tiny_cfg(use_similarity_alignment=True,

@@ -107,6 +107,62 @@ class TestUniTokEngine:
         for uid in solos:
             np.testing.assert_array_equal(res[uid].codes, solos[uid])
 
+    def test_validation_rejects_bad_requests(self, lm_setup, rng):
+        cfg, lm, params = lm_setup
+        eng = _engine(cfg, lm, params)
+        feats = rng.standard_normal((4, cfg.audio_dim)).astype(np.float32)
+
+        def req(**kw):
+            base = dict(task_id=0, num_frames=4, input_feats=feats, uid=1)
+            base.update(kw)
+            return UniTokRequest(**base)
+
+        for bad in (req(temperature=0.0), req(top_p=0.0), req(top_p=1.5),
+                    req(top_k=0), req(num_frames=0), req(num_frames=999),
+                    req(input_feats=rng.standard_normal(
+                        (99, cfg.audio_dim)).astype(np.float32))):
+            with pytest.raises(ValueError):
+                eng.admit_wave([bad], jax.random.PRNGKey(0))
+
+    def test_failed_admission_mutates_nothing(self, lm_setup, rng):
+        """A raise from admit_wave (e.g. an over-long segment later in the
+        wave) must leave NO slot occupied and NO block allocated — a
+        half-admitted wave would strand a ghost slot that later harvests a
+        bogus result."""
+        cfg, lm, params = lm_setup
+        eng = _engine(cfg, lm, params)
+        ok = UniTokRequest(
+            task_id=0, num_frames=4, uid=1,
+            input_feats=rng.standard_normal(
+                (4, cfg.audio_dim)).astype(np.float32))
+        oversize = UniTokRequest(
+            task_id=0, num_frames=4, uid=2,
+            input_feats=rng.standard_normal(
+                (99, cfg.audio_dim)).astype(np.float32))
+        free_before = len(eng.allocator.free)
+        with pytest.raises(ValueError):
+            eng.admit_wave([ok, oversize], jax.random.PRNGKey(0))
+        assert eng._uids == [None] * eng.num_slots
+        assert len(eng.allocator.free) == free_before
+
+    def test_wave_shape_is_fixed(self, lm_setup, rng):
+        """Same-signature waves of different sizes must reuse ONE compiled
+        prefill program (variable wave shapes = a multi-second remote
+        recompile per wave on the real chip)."""
+        cfg, lm, params = lm_setup
+        eng = _engine(cfg, lm, params)
+
+        def mk(uid):
+            return UniTokRequest(
+                task_id=0, num_frames=3, uid=uid,
+                input_feats=rng.standard_normal(
+                    (4, cfg.audio_dim)).astype(np.float32))
+
+        eng.admit_wave([mk(1)], jax.random.PRNGKey(0))          # wave of 1
+        n_after_first = eng._prefill_insert._cache_size()
+        eng.admit_wave([mk(2), mk(3)], jax.random.PRNGKey(0))   # wave of 2
+        assert eng._prefill_insert._cache_size() == n_after_first
+
 
 class TestSharedPool:
     def test_mixed_unise_unitok_one_pool(self, rng):

@@ -89,7 +89,11 @@ def evaluate(unise, cfg: EvalConfig, rng=None,
                 write_wav(save_dir / f"{key}.wav", est, fs)
         if tgt is not None and cfg.mode in ("se", "tse"):
             ref = tgt[0][: len(est)]
-            raw_pesq = M.pesq(est[: len(ref)], ref, fs)
+            # enhancement output is synthesized on the reference's own frame
+            # grid (zero lag by construction) — skip the P.862 alignment
+            # search, which can otherwise lock onto a pitch-period lag on
+            # heavily distorted voiced content
+            raw_pesq = M.pesq(est[: len(ref)], ref, fs, assume_aligned=True)
             mos, mos_variant = M.utmos(est, fs, predictor=utmos_predictor)
             utt = {
                 "stoi": M.stoi(est[: len(ref)], ref, fs),
@@ -128,7 +132,8 @@ def roundtrip_codec_eval(tokenizer, wav_paths, sample_rate=16000,
         g, s = tokenizer.tokenize(x)
         rec = np.asarray(tokenizer.detokenize(g, s))[0]
         ref = wav[0][: len(rec)]
-        raw_pesq = M.pesq(rec[: len(ref)], ref, fs)
+        # codec round trips are sample-aligned by construction
+        raw_pesq = M.pesq(rec[: len(ref)], ref, fs, assume_aligned=True)
         utt = {
             "stoi": M.stoi(rec[: len(ref)], ref, fs),
             "pesq": raw_pesq,

@@ -417,6 +417,17 @@ class FlexiCodec(nn.Module):
             sem_agg, ac_agg = sem, z
         sem_enc = self.convnext_encoder(sem_agg)
         sem_q, sem_codes = self.semantic_vq(sem_enc)
+        if cfg.use_similarity_alignment:
+            # zero the PADDING groups before the semantic ConvNeXt decoder:
+            # its receptive field mixes tail context into the last valid
+            # groups, and a zero tail is exactly what the reference's
+            # unpadded sequence sees (its convs zero same-pad past the end).
+            # decode() masks by extracted lengths the same way — without
+            # this, encode's data-dependent padding codes and decode's -1
+            # sentinel would reconstruct DIFFERENT tail context and
+            # decode(encode(x)) would diverge from forward over the final
+            # receptive field.
+            sem_q = jnp.where((counts > 0)[..., None], sem_q, 0.0)
         sem_dec = (self.convnext_decoder(sem_q)
                    if cfg.decode_semantic_for_codec else sem_q)
         ac_q, ac_codes, commitment, codebook_loss = self.quantizer(
@@ -442,8 +453,15 @@ class FlexiCodec(nn.Module):
             t = min(sem_dec.shape[1], tgt.shape[1], sem_q.shape[1])
             pred = sem_q[:, :t]
             d = min(pred.shape[-1], tgt.shape[-1])
-            out["distill_loss"] = cfg.lambda_distill * jnp.mean(
-                jnp.square(pred[..., :d] - tgt[:, :t, :d]))
+            se = jnp.square(pred[..., :d] - tgt[:, :t, :d])
+            if counts is not None:
+                # aligned mode: average only over VALID groups — padding
+                # rows are zeroed above and carry no semantic content
+                w = (counts[:, :t] > 0).astype(se.dtype)[..., None]
+                out["distill_loss"] = cfg.lambda_distill * (
+                    jnp.sum(se * w) / jnp.maximum(jnp.sum(w) * d, 1.0))
+            else:
+                out["distill_loss"] = cfg.lambda_distill * jnp.mean(se)
         return out
 
     def encode(self, wav, semantic_repr, threshold=None):
@@ -467,9 +485,11 @@ class FlexiCodec(nn.Module):
         ac_agg, _ = self.acoustic_aggregator(z, gid)
         sem_enc = self.convnext_encoder(sem_agg)
         _, sem_codes = self.semantic_vq(sem_enc)
-        sem_dec = (self.convnext_decoder(self.semantic_vq.from_indices(
-            sem_codes)) if cfg.decode_semantic_for_codec
-            else self.semantic_vq.from_indices(sem_codes))
+        sem_q = self.semantic_vq.from_indices(sem_codes)
+        # padding groups -> zero before the ConvNeXt decoder (see __call__)
+        sem_q = jnp.where((counts > 0)[..., None], sem_q, 0.0)
+        sem_dec = (self.convnext_decoder(sem_q)
+                   if cfg.decode_semantic_for_codec else sem_q)
         ac_codes = self.quantizer.encode(ac_agg - sem_dec)
         ac_codes = inject_length(ac_codes, counts, cfg.codebook_size)
         sem_codes = inject_length(
@@ -487,7 +507,12 @@ class FlexiCodec(nn.Module):
                 semantic_codes, self.semantic_vq.codebook_size)
             t = int(acoustic_codes.shape[1])
             gid = group_ids_from_lengths(lengths, t)
-            sem_q = self.semantic_vq.from_indices(sem_plain[..., 0])
+            sem_q = self.semantic_vq.from_indices(
+                jnp.maximum(sem_plain[..., 0], 0))
+            # padding groups (-1 sentinel, length 0) -> zero, matching
+            # encode's masking so both sides feed the ConvNeXt decoder
+            # identical tail context
+            sem_q = jnp.where((lengths > 0)[..., None], sem_q, 0.0)
             sem_dec = (self.convnext_decoder(sem_q)
                        if cfg.decode_semantic_for_codec else sem_q)
             ac_q = self.quantizer.from_codes(jnp.maximum(ac_plain, 0))

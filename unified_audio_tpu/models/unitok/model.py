@@ -66,17 +66,24 @@ class UniTokConfig:
     def layer_vocab(self) -> int:
         return self.codebook_size + 3
 
+    @property
+    def llama_config(self) -> "LlamaConfig":
+        """Backbone geometry. Single source of truth shared by
+        UniTokLM.setup and the paged serving engine — a drifted copy on
+        either side would make paged decode RoPE mismatch prefill."""
+        return LlamaConfig(
+            hidden_size=self.hidden_size, num_layers=self.num_layers,
+            num_heads=self.num_heads,
+            max_position_embeddings=self.max_positions,
+        )
+
 
 class UniTokLM(nn.Module):
     cfg: UniTokConfig = UniTokConfig()
 
     def setup(self):
         cfg = self.cfg
-        lcfg = LlamaConfig(
-            hidden_size=cfg.hidden_size, num_layers=cfg.num_layers,
-            num_heads=cfg.num_heads,
-            max_position_embeddings=cfg.max_positions,
-        )
+        lcfg = cfg.llama_config
         self.backbone = LlamaBackbone(lcfg, name="backbone")
         self.lcfg = lcfg
         self.task_embedding = nn.Embed(cfg.num_tasks, cfg.hidden_size,

@@ -685,7 +685,10 @@ class ContinuousBatchingEngine:
         """Host-side cast to the link format. int16 is exact for 16-bit PCM
         sources and halves the bytes of fp32."""
         if self.wav_wire == "int16":
-            return np.clip(np.asarray(wav, np.float32) * 32768.0,
+            # rint, not truncation: exact-PCM sources (n/32768 samples) are
+            # unchanged either way, but peak-normalized audio would pick up
+            # a full LSB of truncation error where rounding keeps <=0.5
+            return np.clip(np.rint(np.asarray(wav, np.float32) * 32768.0),
                            -32768, 32767).astype(np.int16)
         return np.asarray(wav, self._wire_dtype())
 

@@ -36,8 +36,8 @@ import jax
 import jax.numpy as jnp
 
 from ..models.lm.llama import init_cache, sample_logits_vec
-from ..models.unitok.delay import undo_delay
 from ..models.unitok.model import UniTokLM
+from .engine import _pick_bucket
 from .paged import (TRASH_BLOCK, BlockAllocator, init_pool,
                     paged_decode_embeds, scatter_prefill)
 
@@ -63,14 +63,6 @@ class UniTokRequest:
 class UniTokResult:
     uid: int
     codes: np.ndarray  # (num_frames, K)
-
-
-def _bucket(n: int, buckets: Sequence[int]) -> int:
-    for b in buckets:
-        if n <= b:
-            return b
-    raise ValueError(f"segment length {n} exceeds largest bucket "
-                     f"{buckets[-1]}")
 
 
 class UniTokEngine:
@@ -129,13 +121,7 @@ class UniTokEngine:
         max_prompt = 5 + 3 * self.feat_buckets[-1]
         max_tokens = max_prompt + self.max_steps + 1
         self.max_blocks = math.ceil(max_tokens / block_size)
-        lcfg = lm.cfg  # geometry comes from the Llama sub-config
-        from ..models.lm.llama import LlamaConfig
-
-        self.lcfg = LlamaConfig(
-            hidden_size=cfg.hidden_size, num_layers=cfg.num_layers,
-            num_heads=cfg.num_heads,
-            max_position_embeddings=cfg.max_positions)
+        self.lcfg = cfg.llama_config  # shared with UniTokLM.setup
         if pool_ref is not None:
             assert allocator is not None, "shared pool needs its allocator"
             self._pool_ref = pool_ref
@@ -322,10 +308,28 @@ class UniTokEngine:
     # -- scheduling ---------------------------------------------------------
 
     def _signature(self, r: UniTokRequest):
-        def seg(x):
-            return None if x is None else _bucket(len(x), self.feat_buckets)
+        def seg(x, what):
+            return (None if x is None
+                    else _pick_bucket(len(x), self.feat_buckets, what))
 
-        return (seg(r.caption_feats), seg(r.ref_feats), seg(r.input_feats))
+        return (seg(r.caption_feats, "caption"), seg(r.ref_feats, "ref"),
+                seg(r.input_feats, "input"))
+
+    def validate(self, req: UniTokRequest) -> None:
+        """Static-cap validation, mirroring ContinuousBatchingEngine:
+        reject requests that can never run (or would silently produce
+        garbage sampling) loudly, BEFORE any slot/block mutation."""
+        if not (1 <= req.num_frames <= self.max_frames):
+            raise ValueError(
+                f"num_frames {req.num_frames} not in [1, {self.max_frames}]")
+        if req.temperature <= 0:
+            raise ValueError(f"temperature must be > 0, got {req.temperature}")
+        if not (0 < req.top_p <= 1.0):
+            raise ValueError(f"top_p must be in (0, 1], got {req.top_p}")
+        if not (1 <= req.top_k <= self.max_top_k):
+            raise ValueError(
+                f"top_k {req.top_k} not in [1, {self.max_top_k}]")
+        self._signature(req)  # raises on over-long feature segments
 
     def _free_slots(self) -> List[int]:
         return [s for s in range(self.num_slots) if self._uids[s] is None]
@@ -338,12 +342,10 @@ class UniTokEngine:
             rng = np.random.default_rng(
                 np.asarray(jax.random.key_data(rng), np.uint32))
         # validate the whole wave BEFORE any slot/block mutation: a raise
-        # mid-loop would leave earlier requests' slots marked occupied with
-        # no device state (the UniSE engine validates up front the same way)
+        # mid-loop (including from _signature's bucket lookup) would leave
+        # earlier requests' slots marked occupied with no device state
         for r in reqs:
-            if r.num_frames > self.max_frames:
-                raise ValueError(
-                    f"num_frames {r.num_frames} > max {self.max_frames}")
+            self.validate(r)
         sig = self._signature(reqs[0])
         slots = self._free_slots()
         take = []
@@ -368,21 +370,26 @@ class UniTokEngine:
             return []
 
         cap_b, ref_b, inp_b = sig
-        b_wave = len(take)
+        # FIXED wave batch size: pad every wave to num_slots so the prefill
+        # program is compiled once per signature, not once per free-slot
+        # count (a new wave shape = a multi-second remote recompile
+        # mid-serving — CLAUDE.md decode-latency lesson #4). Padded rows get
+        # slot id num_slots (dropped by the mode="drop" scatters) and
+        # all-trash tables (scatter_prefill writes their KV into the trash
+        # block, which visibility masking never reads).
+        b_pad = self.num_slots
 
         def stackseg(get, bukt, dim):
             if bukt is None:
-                return (jnp.zeros((b_wave, 1, dim), np.float32),
-                        jnp.zeros((b_wave,), jnp.int32))
-            arrs, lens = [], []
-            for _, r, _ in take:
+                return (jnp.zeros((b_pad, 1, dim), np.float32),
+                        jnp.zeros((b_pad,), jnp.int32))
+            arrs = np.zeros((b_pad, bukt, dim), np.float32)
+            lens = np.zeros((b_pad,), np.int32)
+            for i, (_, r, _) in enumerate(take):
                 x = get(r)
-                pad = np.zeros((bukt, x.shape[-1]), np.float32)
-                pad[: len(x)] = x
-                arrs.append(pad)
-                lens.append(len(x))
-            return (jnp.asarray(np.stack(arrs)),
-                    jnp.asarray(np.asarray(lens, np.int32)))
+                arrs[i, : len(x)] = x
+                lens[i] = len(x)
+            return jnp.asarray(arrs), jnp.asarray(lens)
 
         cap, cap_len = stackseg(lambda r: r.caption_feats, cap_b,
                                 self.cfg.text_dim)
@@ -390,24 +397,30 @@ class UniTokEngine:
                                 self.cfg.audio_dim)
         inp, inp_len = stackseg(lambda r: r.input_feats, inp_b,
                                 self.cfg.audio_dim)
-        tables = np.full((b_wave, self.max_blocks), TRASH_BLOCK, np.int32)
+        tables = np.full((b_pad, self.max_blocks), TRASH_BLOCK, np.int32)
         for i, (_, _, blocks) in enumerate(take):
             tables[i, : len(blocks)] = blocks
-        rngs = np.stack([
-            rng.integers(0, 2**32, size=2, dtype=np.uint32)
-            for _ in take])
+
+        def pad1(vals, fill, dt):
+            out = np.full((b_pad,), fill, dt)
+            out[: len(vals)] = vals
+            return jnp.asarray(out)
+
+        rngs = np.zeros((b_pad, 2), np.uint32)
+        for i in range(len(take)):
+            rngs[i] = rng.integers(0, 2**32, size=2, dtype=np.uint32)
         self.pool, self.state = self._prefill_insert(
             self.params, self.pool, self.state,
-            jnp.asarray([s for s, _, _ in take], jnp.int32),
+            pad1([s for s, _, _ in take], self.num_slots, np.int32),
             jnp.asarray(tables),
-            jnp.asarray([r.task_id for _, r, _ in take], jnp.int32),
+            pad1([r.task_id for _, r, _ in take], 0, np.int32),
             cap, cap_len, ref, ref_len, inp, inp_len,
-            jnp.asarray([r.num_frames for _, r, _ in take], jnp.int32),
+            pad1([r.num_frames for _, r, _ in take], 0, np.int32),
             jnp.asarray(rngs),
-            jnp.asarray([r.do_sample for _, r, _ in take]),
-            jnp.asarray([r.temperature for _, r, _ in take], jnp.float32),
-            jnp.asarray([r.top_k for _, r, _ in take], jnp.int32),
-            jnp.asarray([r.top_p for _, r, _ in take], jnp.float32),
+            pad1([r.do_sample for _, r, _ in take], False, bool),
+            pad1([r.temperature for _, r, _ in take], 1.0, np.float32),
+            pad1([r.top_k for _, r, _ in take], 1, np.int32),
+            pad1([r.top_p for _, r, _ in take], 1.0, np.float32),
             has_cap=cap_b is not None, has_ref=ref_b is not None,
             has_inp=inp_b is not None,
         )
@@ -432,13 +445,18 @@ class UniTokEngine:
                 if self._uids[s] is not None and self._remaining[s] == 0]
         if not done:
             return []
-        outs = np.asarray(self.state["out"][jnp.asarray(done)])
-        nf = np.asarray(self.state["num_frames"][jnp.asarray(done)])
+        # ONE device->host fetch for the whole harvest (each fetch is a full
+        # tunnel round trip); the delay undo is a per-codebook shift — pure
+        # host-side numpy on the already-fetched buffer (delay.undo_delay is
+        # the in-graph counterpart used at training time)
+        outs, nf = jax.device_get((self.state["out"], self.state["num_frames"]))
         results = []
-        for i, s in enumerate(done):
-            steps = int(nf[i]) + self.K - 1
-            delayed = outs[i][None, :steps]  # (1, steps, K)
-            codes = np.asarray(undo_delay(jnp.asarray(delayed)))[0]
+        for s in done:
+            steps = int(nf[s]) + self.K - 1
+            t = steps - self.K + 1
+            delayed = outs[s]  # (max_steps, K)
+            codes = np.stack(
+                [delayed[k : k + t, k] for k in range(self.K)], axis=-1)
             codes = np.clip(codes, 0, self.cfg.codebook_size - 1)
             results.append(UniTokResult(self._uids[s], codes))
             self.allocator.release(self._slot_blocks[s])
