@@ -2,11 +2,19 @@
 
 Usage: python benchmarks/run_all.py  (runs on whatever platform JAX selects;
 the driver's bench.py remains the single-line headline metric.)
+
+On the tunnel-attached chip, two TPU processes too close together wedge the
+relay at first device touch (CLAUDE.md environment gotcha #1 — a process
+starting ~1 min after the previous CLEAN exit has wedged) — hence the
+mandatory quiet gap between benches.
 """
 import json
 import subprocess
 import sys
+import time
 from pathlib import Path
+
+GAP_S = 130  # quiet time between TPU processes (see module docstring)
 
 BENCHES = [
     ("hcodec10_roundtrip", [sys.executable, "bench.py"]),
@@ -15,6 +23,8 @@ BENCHES = [
     ("hcodec20_batched", [sys.executable, "benchmarks/bench_hcodec20.py"]),
     ("engine_mixed_task", [sys.executable, "benchmarks/bench_engine.py",
                            "16", "128"]),
+    ("unitok_engine", [sys.executable,
+                       "benchmarks/bench_unitok_engine.py", "8", "64"]),
     ("paged_step_device", [sys.executable, "benchmarks/bench_paged_step.py"]),
     ("sft_train_step", [sys.executable, "benchmarks/bench_train_step.py"]),
     ("codec_gan_train_step",
@@ -25,7 +35,9 @@ BENCHES = [
 def main():
     root = Path(__file__).resolve().parents[1]
     results = {}
-    for name, cmd in BENCHES:
+    for i, (name, cmd) in enumerate(BENCHES):
+        if i:
+            time.sleep(GAP_S)
         print(f"== {name} ==", flush=True)
         proc = subprocess.run(cmd, cwd=root, capture_output=True, text=True,
                               timeout=3600)
