@@ -94,6 +94,7 @@ def main(num_slots: int = 8, num_requests: int = 24, dtype: str = "bfloat16",
             jax.random.PRNGKey(1), poll_interval=poll_interval)
 
     reqs = [make_request(i) for i in range(num_requests)]
+    before = {k: v for k, v in eng.stats().items() if k.startswith("t_")}
     t0 = time.perf_counter()
     results = eng.run(reqs, jax.random.PRNGKey(2), poll_interval=poll_interval)
     dt = time.perf_counter() - t0
@@ -112,6 +113,9 @@ def main(num_slots: int = 8, num_requests: int = 24, dtype: str = "bfloat16",
         "requests_per_sec": round(num_requests / dt, 2),
         "audio_sec_per_sec": round(num_requests * 5.0 / dt, 2),
         "wall_s": round(dt, 2),
+        "host_budget": {k: round(v - before.get(k, 0.0), 3)
+                        for k, v in eng.stats().items()
+                        if k.startswith("t_")},
     }), flush=True)
 
 

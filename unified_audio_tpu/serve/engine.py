@@ -53,6 +53,7 @@ path (measured 2.9x sustained throughput over the sync-per-wave scheduler).
 from __future__ import annotations
 
 import math
+import time
 from dataclasses import dataclass
 from functools import partial
 from typing import Dict, List, Optional, Sequence
@@ -1143,17 +1144,30 @@ class ContinuousBatchingEngine:
                 if any(self._uids[s] == u for s in range(self.num_slots))}
 
     def _run_inner(self, pending, results, rng, poll_interval, i):
+        # host-phase wall-clock accumulators (stats()["t_*"]): on
+        # tunnel-attached chips the host path IS the utilization gap, so
+        # run() keeps an always-on budget of where wall time goes.
+        # t_drain/t_harvest include the decode wait (the fetch blocks on
+        # the dispatched chunks); t_admit/t_step are dispatch-side.
+        t = self._stats
+        for k in ("t_prestage", "t_admit", "t_step", "t_drain", "t_harvest"):
+            t[k] = t.get(k, 0.0)
+        clock = time.perf_counter
         # first wave: batch-stage before admitting (later waves prestage
         # during decode)
         if pending:
+            t0 = clock()
             self.prestage(pending)
+            t["t_prestage"] += clock() - t0
         while True:
             if pending:
                 # displacing admissions: finished slots are known host-side
                 # (deterministic lengths) — no device sync between waves.
                 # The insert stashes the displaced outputs in-graph.
+                t0 = clock()
                 admitted = set(self.admit_many(pending, rng, displace=True))
                 pending = [r for r in pending if r.uid not in admitted]
+                t["t_admit"] += clock() - t0
             active = [self._remaining[s] for s in range(self.num_slots)
                       if self._uids[s] is not None and self._remaining[s] > 0]
             if not active:
@@ -1167,25 +1181,35 @@ class ContinuousBatchingEngine:
             first = True
             while remaining:
                 c = min(poll_interval, 1 << (remaining.bit_length() - 1))
+                t0 = clock()
                 self.step(n=c)
+                t["t_step"] += clock() - t0
                 remaining -= c
                 if not staged:
                     # overlap: transfer the next wave's features while the
                     # first decode chunk executes on device
+                    t0 = clock()
                     self.prestage(pending)
+                    t["t_prestage"] += clock() - t0
                     staged = True
                 if first:
                     if self.eager_drain:
                         # overlap: fetch the previous wave's stashed outputs
                         # while these decode chunks execute on device
+                        t0 = clock()
                         for r in self.drain_stashes():
                             results[r.uid] = r
+                        t["t_drain"] += clock() - t0
                     first = False
             i += min(active)
             if i > 400000:
                 raise RuntimeError("engine did not converge")
+        t0 = clock()
         for r in self.drain_stashes():
             results[r.uid] = r
+        t["t_drain"] += clock() - t0
+        t0 = clock()
         for r in self.harvest():
             results[r.uid] = r
+        t["t_harvest"] += clock() - t0
         return results
