@@ -29,6 +29,10 @@ jnp = jax.numpy
 sys.path.insert(0, str(Path(__file__).parent))
 import reference_loader as rl  # noqa: E402
 
+# full reference dims on CPU: ~3 min/test, ~40 min for the module. Opt in
+# with `pytest -m golden` when converters or model architectures change.
+pytestmark = pytest.mark.golden
+
 torch = rl.torch
 
 
