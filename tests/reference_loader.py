@@ -458,3 +458,148 @@ def wrap_decoder_layers(model) -> None:
             return out if isinstance(out, tuple) else (out,)
 
         layer.forward = _types.MethodType(_tuple_fwd, layer)
+
+
+# ---------------------------------------------------------------------------
+# SenseVoice SAN-M teacher encoder — torch twin for golden tests.
+#
+# The reference loads the frozen SenseVoiceSmall teacher through funasr
+# (modeling_flexicodec.py:122 ``semantic_model_path="./SenseVoiceSmall"``) and
+# calls ``prepend_inputs`` + ``encoder(..., extract_hidden=True)``
+# (modeling_flexicodec.py:54-95). funasr is not in this image and the
+# reference vendors no SAN-M code, so this twin reconstructs the architecture
+# from the public FunASR source (funasr/models/sense_voice/model.py
+# SenseVoiceEncoderSmall, funasr/models/sanm/attention.py
+# MultiHeadedAttentionSANM, EncoderLayerSANM) with funasr's exact state-dict
+# key names — the same documented-shim recipe as the other entries here.
+# ---------------------------------------------------------------------------
+
+
+class _SANMAttnTorch(torch.nn.Module):
+    def __init__(self, in_feat, n_feat, heads, kernel, shift=0):
+        super().__init__()
+        self.h, self.d_k = heads, n_feat // heads
+        self.linear_q_k_v = torch.nn.Linear(in_feat, 3 * n_feat)
+        self.linear_out = torch.nn.Linear(n_feat, n_feat)
+        self.fsmn_block = torch.nn.Conv1d(
+            n_feat, n_feat, kernel, groups=n_feat, bias=False)
+        left = (kernel - 1) // 2 + shift
+        self.pad_fn = torch.nn.ConstantPad1d((left, kernel - 1 - left), 0.0)
+
+    def forward(self, x, mask=None):
+        b, t, _ = x.shape
+        qkv = self.linear_q_k_v(x)
+        q, k, v = torch.split(qkv, qkv.shape[-1] // 3, dim=-1)
+        inp = v if mask is None else v * mask[..., None]
+        f = self.fsmn_block(
+            self.pad_fn(inp.transpose(1, 2))).transpose(1, 2) + inp
+        if mask is not None:
+            f = f * mask[..., None]
+        qh = q.reshape(b, t, self.h, self.d_k).transpose(1, 2) \
+            * self.d_k ** -0.5
+        kh = k.reshape(b, t, self.h, self.d_k).transpose(1, 2)
+        vh = v.reshape(b, t, self.h, self.d_k).transpose(1, 2)
+        scores = qh @ kh.transpose(-2, -1)
+        if mask is not None:
+            bad = mask[:, None, None, :] == 0
+            scores = scores.masked_fill(bad, torch.finfo(scores.dtype).min)
+        attn = torch.softmax(scores, -1)
+        if mask is not None:
+            attn = attn.masked_fill(bad, 0.0)
+        out = (attn @ vh).transpose(1, 2).reshape(b, t, -1)
+        return self.linear_out(out) + f
+
+
+class _PositionwiseFFTorch(torch.nn.Module):
+    def __init__(self, size, linear_units):
+        super().__init__()
+        self.w_1 = torch.nn.Linear(size, linear_units)
+        self.w_2 = torch.nn.Linear(linear_units, size)
+
+    def forward(self, x):
+        return self.w_2(torch.relu(self.w_1(x)))
+
+
+class _SANMLayerTorch(torch.nn.Module):
+    def __init__(self, in_size, size, heads, linear_units, kernel, shift=0):
+        super().__init__()
+        self.in_size, self.size = in_size, size
+        self.norm1 = torch.nn.LayerNorm(in_size)
+        self.norm2 = torch.nn.LayerNorm(size)
+        self.self_attn = _SANMAttnTorch(in_size, size, heads, kernel, shift)
+        self.feed_forward = _PositionwiseFFTorch(size, linear_units)
+
+    def forward(self, x, mask=None):
+        residual = x
+        h = self.self_attn(self.norm1(x), mask)
+        x = residual + h if self.in_size == self.size else h
+        return x + self.feed_forward(self.norm2(x))
+
+
+def _sinusoidal_pe_torch(length, depth, dtype=torch.float32):
+    import numpy as _np
+
+    positions = _np.arange(1, length + 1, dtype=_np.float64)
+    half = depth // 2
+    inv = _np.exp(_np.arange(half, dtype=_np.float64)
+                  * -(_np.log(10000.0) / (half - 1)))
+    scaled = positions[:, None] * inv[None, :]
+    pe = _np.concatenate([_np.sin(scaled), _np.cos(scaled)], axis=1)
+    return torch.as_tensor(pe, dtype=dtype)
+
+
+class _SANMEncoderTorch(torch.nn.Module):
+    def __init__(self, cfg):
+        super().__init__()
+        mk = lambda in_size: _SANMLayerTorch(  # noqa: E731
+            in_size, cfg.output_size, cfg.attention_heads, cfg.linear_units,
+            cfg.kernel_size, cfg.sanm_shift)
+        self.output_size = cfg.output_size
+        self.input_size = cfg.input_size
+        self.encoders0 = torch.nn.ModuleList([mk(cfg.input_size)])
+        self.encoders = torch.nn.ModuleList(
+            [mk(cfg.output_size) for _ in range(cfg.num_blocks - 1)])
+        self.tp_encoders = torch.nn.ModuleList(
+            [mk(cfg.output_size) for _ in range(cfg.tp_blocks)])
+        self.after_norm = torch.nn.LayerNorm(cfg.output_size)
+        self.tp_norm = torch.nn.LayerNorm(cfg.output_size)
+
+    def forward(self, xs, mask=None):
+        xs = xs * self.output_size ** 0.5
+        xs = xs + _sinusoidal_pe_torch(
+            xs.shape[1], self.input_size, xs.dtype)[None]
+        xs = self.encoders0[0](xs, mask)
+        hiddens = [xs]
+        for layer in self.encoders:
+            xs = layer(xs, mask)
+            hiddens.append(xs)
+        hidden_out = self.after_norm(xs)
+        x = hidden_out
+        for layer in self.tp_encoders:
+            x = layer(x, mask)
+        return self.tp_norm(x), hidden_out, hiddens
+
+
+class SenseVoiceTorchTwin(torch.nn.Module):
+    """funasr-layout SenseVoiceSmall (encoder + query-embedding table):
+    ``state_dict()`` keys match what convert_sensevoice expects."""
+
+    def __init__(self, cfg):
+        super().__init__()
+        self.cfg = cfg
+        self.embed = torch.nn.Embedding(cfg.embed_vocab, cfg.input_size)
+        self.encoder = _SANMEncoderTorch(cfg)
+
+    def prepend_inputs(self, feats):
+        ids = torch.tensor([self.cfg.lang_id, 1, 2, self.cfg.textnorm_id])
+        q = self.embed(ids)[None].expand(feats.shape[0], -1, -1)
+        return torch.cat([q, feats], dim=1)
+
+    def semantic(self, feats, lengths=None):
+        x = self.prepend_inputs(feats)
+        mask = None
+        if lengths is not None:
+            mask = (torch.arange(x.shape[1])[None]
+                    < (lengths + 4)[:, None]).to(x.dtype)
+        _, hidden_out, _ = self.encoder(x, mask)
+        return hidden_out[:, 4:]

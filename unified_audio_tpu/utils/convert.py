@@ -240,3 +240,55 @@ def export_custom_llama_state_dict(variables, cfg) -> Dict[str, np.ndarray]:
     elif "mix_sos_embedding" in p:
         sd["mix_sos_embedding.weight"] = np.asarray(p["mix_sos_embedding"])
     return sd
+
+
+# ---------------------------------------------------------------------------
+# SenseVoice SAN-M teacher encoder (funasr SenseVoiceSmall state-dict layout)
+# ---------------------------------------------------------------------------
+
+def _sanm_layer(sd, prefix):
+    """One funasr EncoderLayerSANM -> models/ssl/sanm.SANMLayer params.
+    fsmn_block is a depthwise torch Conv1d: weight (C, 1, K) -> (K, C)."""
+    return {
+        "norm1": _layernorm(sd, f"{prefix}.norm1"),
+        "norm2": _layernorm(sd, f"{prefix}.norm2"),
+        "self_attn": {
+            "linear_q_k_v": _linear(sd, f"{prefix}.self_attn.linear_q_k_v"),
+            "linear_out": _linear(sd, f"{prefix}.self_attn.linear_out"),
+            "fsmn_kernel": _t(
+                sd[f"{prefix}.self_attn.fsmn_block.weight"])[:, 0, :].T,
+        },
+        "ff_w1": _linear(sd, f"{prefix}.feed_forward.w_1"),
+        "ff_w2": _linear(sd, f"{prefix}.feed_forward.w_2"),
+    }
+
+
+def _stack_layers(layers):
+    import jax
+
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *layers)
+
+
+def convert_sensevoice(state_dict: Dict, cfg) -> Dict:
+    """funasr SenseVoiceSmall state dict -> SenseVoiceSemanticEncoder
+    variables (models/ssl/sanm.py). Key layout per the public funasr source:
+    ``encoder.encoders0.0.*`` (560->512), ``encoder.encoders.{i}.*`` (49),
+    ``encoder.tp_encoders.{i}.*`` (20), ``encoder.{after_norm,tp_norm}``,
+    ``embed.weight`` (the language/event/emotion/textnorm query table the
+    reference's prepend_inputs indexes — modeling_flexicodec.py:60-66)."""
+    sd = state_dict
+    enc = {
+        "encoders0_0": _sanm_layer(sd, "encoder.encoders0.0"),
+        "encoders": {"layer": _stack_layers(
+            [_sanm_layer(sd, f"encoder.encoders.{i}")
+             for i in range(cfg.num_blocks - 1)])},
+        "tp_encoders": {"layer": _stack_layers(
+            [_sanm_layer(sd, f"encoder.tp_encoders.{i}")
+             for i in range(cfg.tp_blocks)])},
+        "after_norm": _layernorm(sd, "encoder.after_norm"),
+        "tp_norm": _layernorm(sd, "encoder.tp_norm"),
+    }
+    return {"params": {
+        "query_embed": _t(sd["embed.weight"])[: cfg.embed_vocab],
+        "encoder": enc,
+    }}
