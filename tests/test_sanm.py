@@ -104,3 +104,39 @@ def test_semantic_golden_full_dims(rng):
         variables, jnp.asarray(feats)))
     # 70 pre-LN blocks of fp32 accumulation: scale-aware tolerance
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=5e-4)
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(
+        "/root/reference/QuarkAudio-HCodec/HCodec-1.5/adaptive/am.mvn"),
+    reason="reference am.mvn not present")
+def test_flexicodec_full_teacher_path(rng, key):
+    """Raw audio -> exact funasr frontend -> ported SAN-M encoder ->
+    FlexiCodec encode: the reference's in-line teacher path end-to-end
+    (modeling_flexicodec.py:54-95), on a tiny SAN-M (real 560-d input)."""
+    import jax
+    from unified_audio_tpu.models.hcodec.flexicodec import (
+        FlexiCodec, FlexiCodecConfig, match_frame_rate,
+        sensevoice_teacher_semantic)
+
+    am_mvn = "/root/reference/QuarkAudio-HCodec/HCodec-1.5/adaptive/am.mvn"
+    sv_cfg = tiny_cfg(input_size=560, output_size=16)
+    twin, sv_vars = _pair(sv_cfg, seed=11)
+    wav = rng.standard_normal((1, 16000)).astype(np.float32) * 0.1
+
+    sem = sensevoice_teacher_semantic(
+        sv_vars, jnp.asarray(wav), am_mvn, config=sv_cfg, out_dim=32)
+    assert sem.shape[-1] == 32            # tiled 16 -> ssl_dim
+    assert sem.shape[1] == 17             # ceil(98 frames / 6) LFR rate
+
+    fc_cfg = FlexiCodecConfig(
+        encoder_dim=4, encoder_rates=(2, 4, 8, 8), latent_dim=32,
+        decoder_dim=32, decoder_rates=(8, 8, 4, 2), n_codebooks=2,
+        codebook_size=32, codebook_dim=4, ssl_dim=32, convnext_dim=16,
+        convnext_layers=2, fsq_levels=(4, 4, 4), sample_rate=16000)
+    fc = FlexiCodec(fc_cfg)
+    sem = match_frame_rate(sem, 2 * (wav.shape[-1] // fc_cfg.hop_length))
+    variables = fc.init(key, jnp.asarray(wav), sem, train=False)
+    enc = jax.jit(lambda v, x, s: fc.apply(v, x, s, method="encode"))
+    ac, sc = enc(variables, jnp.asarray(wav), sem)
+    assert ac.shape[0] == 1 and sc.shape[0] == 1

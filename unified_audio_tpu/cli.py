@@ -350,7 +350,7 @@ def cmd_codec(args):
     if args.model == "flexicodec":
         from .models.hcodec.flexicodec import (
             FlexiCodec, FlexiCodecConfig, fbank_semantic, match_frame_rate,
-            sensevoice_semantic)
+            sensevoice_semantic, sensevoice_teacher_semantic)
 
         # load the checkpoint FIRST: its convnext_encoder input projection
         # fixes ssl_dim (the semantic stream below must be built at the
@@ -376,14 +376,34 @@ def cmd_codec(args):
         cfg = FlexiCodecConfig(**cfg_kw)
         model = FlexiCodec(cfg)
         x = jnp.asarray(wav)
-        # semantic stream: the exact reference teacher frontend (funasr
-        # WavFrontend, ops/fbank.py) when its am.mvn stats are reachable
-        # (--cmvn or the reference checkout); otherwise the generic
-        # log-fbank fallback. The SenseVoice encoder weights themselves are
-        # unavailable in this image — see flexicodec.py module docstring.
+        # semantic stream, best teacher available: the FULL ported SAN-M
+        # encoder when its weights are supplied (--sensevoice-ckpt, exactly
+        # the reference's in-line semantic_model); else the exact teacher
+        # frontend (funasr WavFrontend, ops/fbank.py) when its am.mvn stats
+        # are reachable (--cmvn or the reference checkout); else the
+        # generic log-fbank fallback.
         cmvn = getattr(args, "cmvn", None) or (
             _REFERENCE_AM_MVN if os.path.exists(_REFERENCE_AM_MVN) else None)
-        if cmvn:
+        sv_ckpt = getattr(args, "sensevoice_ckpt", None)
+        if sv_ckpt:
+            if not cmvn:
+                sys.exit("error: --sensevoice-ckpt needs CMVN stats "
+                         "(--cmvn or the reference checkout's am.mvn)")
+            import torch
+
+            from .models.ssl.sanm import sensevoice_small_config
+            from .utils.convert import convert_sensevoice
+
+            sv_cfg = sensevoice_small_config()
+            sv_vars = convert_sensevoice(
+                torch.load(sv_ckpt, map_location="cpu", weights_only=False),
+                sv_cfg)
+            sem = sensevoice_teacher_semantic(
+                sv_vars, x, cmvn, config=sv_cfg, sample_rate=TARGET_SR,
+                out_dim=cfg.ssl_dim)
+            print(f"SAN-M teacher semantic stream from {sv_ckpt}",
+                  file=sys.stderr)
+        elif cmvn:
             sem = sensevoice_semantic(x, cmvn, out_dim=cfg.ssl_dim,
                                       sample_rate=TARGET_SR)
         else:
@@ -688,6 +708,11 @@ def main(argv=None):
                          "reference checkout's copy when present")
     t5.add_argument("--ckpt", default=None,
                     help="torch weights.pt (convert_hcodec10/20 by --model)")
+    t5.add_argument("--sensevoice-ckpt", default=None,
+                    help="funasr SenseVoiceSmall state dict: run the FULL "
+                         "ported SAN-M teacher for the flexicodec semantic "
+                         "stream (models/ssl/sanm.py) instead of the "
+                         "frontend-only features")
     t5.set_defaults(fn=cmd_codec)
 
     t6 = sub.add_parser("serve")

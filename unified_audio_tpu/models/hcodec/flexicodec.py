@@ -19,14 +19,17 @@ convert directly (utils/convert_hcodec.convert_flexicodec):
   (the FlexiCodec mode) reuses the same static-shape machinery as
   models/hcodec/adaptive.py.
 
-The SenseVoice teacher's FEATURE FRONTEND (funasr WavFrontend: kaldi fbank +
-LFR + CMVN, feature_extractors.py:8-28) is reproduced exactly in
-``ops/fbank.py`` — use ``sensevoice_semantic`` below with the reference's
-``am.mvn`` stats. Only the SenseVoice *encoder weights* remain absent (funasr
-not in this image), so the semantic representation still enters as an
-ARGUMENT (``semantic_repr``): exact frontend features, any frozen models/ssl
-encoder, or the generic log-fbank fallback. Distillation against a frozen
-teacher is in ``__call__`` via ``teacher_feats``.
+The SenseVoice teacher is fully ported: its FEATURE FRONTEND (funasr
+WavFrontend: kaldi fbank + LFR + CMVN, feature_extractors.py:8-28) is exact
+in ``ops/fbank.py``, and the SAN-M ENCODER (SenseVoiceEncoderSmall, the
+``semantic_model.encoder(...)`` the reference runs in-line at
+modeling_flexicodec.py:54-95,122) is golden-pinned in ``models/ssl/sanm.py``
+with a funasr-layout converter (``utils.convert.convert_sensevoice``). Use
+``sensevoice_teacher_semantic`` below for the full raw-audio -> semantic
+path; the model itself still takes the semantic stream as an ARGUMENT
+(``semantic_repr``) so any frozen teacher plugs in. Only the released
+SenseVoiceSmall *weights* remain env-blocked (zero egress). Distillation
+against a frozen teacher is in ``__call__`` via ``teacher_feats``.
 """
 from __future__ import annotations
 
@@ -557,6 +560,35 @@ def sensevoice_semantic(wav, cmvn_file, out_dim=1024, sample_rate=16000):
     d = front.output_dim
     reps = -(-out_dim // d)
     return jnp.tile(feats, (1, 1, reps))[..., :out_dim]
+
+
+def sensevoice_teacher_semantic(sanm_variables, wav, cmvn_file, config=None,
+                                layer_mean=None, sample_rate=16000,
+                                out_dim=None):
+    """Semantic stream from the FULL reference teacher: the exact funasr
+    frontend (``ops/fbank.py``) into the ported SAN-M encoder
+    (``models/ssl/sanm.py``), exactly what the reference runs in-line
+    (modeling_flexicodec.py:54-95 — prepend_inputs + encoder + strip the 4
+    query frames; ``layer_mean=(lo, hi)`` is the ``semantic_layer_idx``
+    list form).
+
+    (B, T) audio -> (B, ceil(T_frames/6), 512), stop-gradded. ``out_dim``
+    tiles/truncates the 512-d output for models converted at another
+    ``ssl_dim`` (real FlexiCodec+SenseVoice checkpoints are 512 — no-op).
+    """
+    from ...models.ssl.sanm import (SenseVoiceSemanticEncoder,
+                                    sensevoice_small_config)
+    from ...ops.fbank import SenseVoiceFrontend
+
+    front = SenseVoiceFrontend(cmvn_file=cmvn_file, sample_rate=sample_rate)
+    feats = front(wav)                                   # (B, T_lfr, 560)
+    enc = SenseVoiceSemanticEncoder(config or sensevoice_small_config(),
+                                    layer_mean=layer_mean)
+    sem = jax.lax.stop_gradient(enc.apply(sanm_variables, feats))
+    if out_dim is not None and sem.shape[-1] != out_dim:
+        reps = -(-out_dim // sem.shape[-1])
+        sem = jnp.tile(sem, (1, 1, reps))[..., :out_dim]
+    return sem
 
 
 def match_frame_rate(feats, num_frames: int):
