@@ -241,7 +241,8 @@ class TestEngine:
                             do_sample=False, uid=200 + i)
                     for i, (g, s) in enumerate(lengths)]
 
-        eager = make_engine(sft, params).run(reqs(), jax.random.PRNGKey(0))
+        eager = make_engine(sft, params, eager_drain=True).run(
+            reqs(), jax.random.PRNGKey(0))
         deferred_eng = make_engine(sft, params, eager_drain=False)
         deferred = deferred_eng.run(reqs(), jax.random.PRNGKey(0))
         # 6 requests through 2 slots => multiple displacing waves, but all
@@ -333,6 +334,83 @@ class TestEngine:
                 task_id=0, uid=0,
                 mix_feats=rng.standard_normal((99, 12)).astype(np.float32)),
                 key)
+
+
+class TestInt8FeatureWire:
+    """feats_wire="int8": symmetric int8 feature staging with per-frame
+    power-of-two exponents packed into the row (engine.py
+    _quantize_feats_row/_dequant_feats) — half the staged bytes on links
+    that serialize transfers with compute."""
+
+    def test_quantize_dequant_error_bound(self):
+        from unified_audio_tpu.serve.engine import (_dequant_feats,
+                                                    _quantize_feats_row)
+
+        rng = np.random.default_rng(3)
+        x = (rng.standard_normal((20, 12)).astype(np.float32)
+             * rng.uniform(1e-3, 1e3, (20, 1)).astype(np.float32))
+        wire = _quantize_feats_row(x)
+        assert wire.dtype == np.int8 and wire.shape == (20, 13)
+        back = np.asarray(_dequant_feats(wire[None], jnp.float32))[0]
+        # per-frame: |err| <= 0.5 * 2^e and 2^e <= 2 * maxabs / 127
+        bound = np.abs(x).max(axis=-1, keepdims=True) / 126.0
+        assert (np.abs(back - x) <= bound + 1e-12).all()
+        # zero rows (padding / zero template) must round-trip to exact zero
+        z = _quantize_feats_row(np.zeros((4, 12), np.float32))
+        assert (np.asarray(_dequant_feats(z[None], jnp.float32)) == 0).all()
+
+    def test_int8_wire_exact_for_pow2_features(self, setup):
+        """Features already of the form q * 2^e (q int8) cross the int8
+        wire losslessly — greedy tokens must equal the bf16-wire engine's
+        exactly, including enroll rows and displacing waves."""
+        cfg, sft, params, rng = setup
+        feats = []
+        for i in range(5):
+            q = rng.integers(-127, 128, (10, 12)).astype(np.float32)
+            q[0, 0] = 127.0  # pin the frame scale so e is stable
+            feats.append((q * 0.25).astype(np.float32))
+
+        def reqs():
+            return [Request(task_id=i % 3, mix_feats=feats[i],
+                            enroll_feats=feats[(i + 1) % 5] if i % 3 else None,
+                            global_length=3, semantic_length=5 + i,
+                            do_sample=False, uid=400 + i)
+                    for i in range(5)]
+
+        ref = make_engine(sft, params).run(reqs(), jax.random.PRNGKey(0))
+        got = make_engine(sft, params, feats_wire="int8").run(
+            reqs(), jax.random.PRNGKey(0))
+        assert set(ref) == set(got)
+        for uid in ref:
+            np.testing.assert_array_equal(np.asarray(ref[uid].global_ids),
+                                          np.asarray(got[uid].global_ids))
+            np.testing.assert_array_equal(np.asarray(ref[uid].semantic_ids),
+                                          np.asarray(got[uid].semantic_ids))
+
+    def test_int8_wire_deterministic_and_close(self, setup):
+        """Arbitrary features: the int8 wire is lossy but deterministic;
+        two identical runs agree token-for-token, and sampling params
+        still validate."""
+        cfg, sft, params, rng = setup
+        feats = [rng.standard_normal((10, 12)).astype(np.float32)
+                 for _ in range(4)]
+
+        def reqs():
+            return [Request(task_id=i % 3, mix_feats=feats[i],
+                            enroll_feats=feats[i] if i % 3 else None,
+                            global_length=4, semantic_length=6,
+                            do_sample=False, uid=500 + i)
+                    for i in range(4)]
+
+        a = make_engine(sft, params, feats_wire="int8").run(
+            reqs(), jax.random.PRNGKey(1))
+        b = make_engine(sft, params, feats_wire="int8").run(
+            reqs(), jax.random.PRNGKey(1))
+        for uid in a:
+            np.testing.assert_array_equal(np.asarray(a[uid].semantic_ids),
+                                          np.asarray(b[uid].semantic_ids))
+        with pytest.raises(ValueError):
+            make_engine(sft, params, feats_wire="fp4")
 
 
 class TestSampleLogitsVec:

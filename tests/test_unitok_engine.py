@@ -164,6 +164,33 @@ class TestUniTokEngine:
         assert eng._prefill_insert._cache_size() == n_after_first
 
 
+    def test_displacing_deferred_drain(self, lm_setup, rng):
+        """The round-4 scheduler: 9 requests through 4 slots displace
+        finished slots without device syncs; deferred mode drains every
+        stash in (at most) ONE batched fetch, eager mode matches it
+        token-for-token."""
+        cfg, lm, params = lm_setup
+        feats = [rng.standard_normal((4, cfg.audio_dim)).astype(np.float32)
+                 for _ in range(9)]
+
+        def reqs():
+            return [UniTokRequest(task_id=i % 6, num_frames=4 + i % 3,
+                                  input_feats=feats[i], do_sample=False,
+                                  uid=700 + i)
+                    for i in range(9)]
+
+        deferred_eng = _engine(cfg, lm, params)
+        deferred = deferred_eng.run(reqs(), jax.random.PRNGKey(3))
+        assert deferred_eng.stats()["stash_fetches"] <= 1
+        assert deferred_eng.stats()["prefill_waves"] >= 2
+        eager = _engine(cfg, lm, params, eager_drain=True).run(
+            reqs(), jax.random.PRNGKey(3))
+        assert set(deferred) == set(eager) == {700 + i for i in range(9)}
+        for uid in deferred:
+            np.testing.assert_array_equal(deferred[uid].codes,
+                                          eager[uid].codes)
+
+
 class TestSharedPool:
     def test_mixed_unise_unitok_one_pool(self, rng):
         """A UniSE engine and a UniTok engine serve interleaved from ONE

@@ -19,10 +19,12 @@ Differences from the UniSE engine's phase machine, absorbed here:
   [k, k + num_frames), PAD outside (model.py:156-229);
 * decode length is num_frames + K - 1 (fixed, deterministic scheduling).
 
-The scheduler is the simple reap-then-admit loop (power-of-two step
-decomposition, sync at completion points); the UniSE engine keeps the
-fully-overlapped displacing scheduler — its sustained-throughput headline is
-measured there.
+The scheduler is the UniSE engine's fully-overlapped displacing design
+(round 4): finished slots are known host-side (deterministic lengths, no
+device sync), the insert program stashes the displaced slots' outputs
+in-graph, and stashes drain in one batched end-of-run fetch (or per wave
+with ``eager_drain=True``) — power-of-two step decomposition to each
+completion point throughout.
 """
 from __future__ import annotations
 
@@ -90,6 +92,7 @@ class UniTokEngine:
         allocator: Optional[BlockAllocator] = None,
         dtype=None,
         use_flash_kernel: Optional[bool] = None,
+        eager_drain: bool = False,
     ):
         self.lm = lm
         cfg = lm.cfg
@@ -158,6 +161,11 @@ class UniTokEngine:
         self._uids: List[Optional[int]] = [None] * s
         self._remaining: List[int] = [0] * s
         self._results: Dict[int, UniTokResult] = {}
+        self.eager_drain = eager_drain
+        self._done_slots: set = set()
+        self._pending_stashes: List[tuple] = []
+        self._stats: Dict[str, float] = {"stash_fetches": 0,
+                                         "prefill_waves": 0}
 
         vocab_ids = jnp.arange(cfg.layer_vocab)
         code_mask = jnp.where(vocab_ids < cfg.codebook_size, 0.0, NEG)
@@ -172,6 +180,13 @@ class UniTokEngine:
                             inp, inp_len, nframes, rngs, do_samples, temps,
                             top_ks, top_ps, has_cap, has_ref, has_inp):
             b_wave = task_ids.shape[0]
+            # stash the displaced slots' finished outputs BEFORE the upd()
+            # scatters overwrite them — fetched later in one batched
+            # device_get, overlapped with decode (the UniSE engine's
+            # displacing-insert recipe). Dropped rows (slot id == num_slots)
+            # clamp to the last slot; the host ignores their stash entries.
+            clip_ids = jnp.clip(slot_ids, 0, self.num_slots - 1)
+            stash = (state["out"][clip_ids], state["num_frames"][clip_ids])
             prompt = self.lm.apply(
                 params, task_ids[0],
                 cap if has_cap else None,
@@ -232,7 +247,7 @@ class UniTokEngine:
             upd("block_tables", tables)
             upd("out", jnp.zeros((b_wave, self.max_steps, self.K),
                                  jnp.int32))
-            return pool, st
+            return pool, st, stash
 
         def _step_body(backbone_params, emb, heads, pool, state, nb):
             s = self.num_slots
@@ -334,8 +349,27 @@ class UniTokEngine:
     def _free_slots(self) -> List[int]:
         return [s for s in range(self.num_slots) if self._uids[s] is None]
 
-    def admit_wave(self, reqs: List[UniTokRequest], rng) -> List[int]:
-        """Admit a same-signature wave into free slots; returns uids."""
+    def _reap_host(self) -> None:
+        """Deterministic completion bookkeeping (no device sync): decode
+        lengths are fixed, so a slot whose host-tracked remaining count hit
+        zero IS finished — release its blocks now; its outputs stay in the
+        state arrays until a displacing insert stashes them (or harvest
+        fetches them)."""
+        for s in range(self.num_slots):
+            if (self._uids[s] is not None and self._remaining[s] == 0
+                    and s not in self._done_slots):
+                self.allocator.release(self._slot_blocks[s])
+                self._slot_blocks[s] = []
+                self._done_slots.add(s)
+
+    def admit_wave(self, reqs: List[UniTokRequest], rng,
+                   displace: bool = False) -> List[int]:
+        """Admit a same-signature wave into free slots; returns uids.
+
+        With ``displace=True`` (the run() fast path), slots whose request
+        finished — tracked host-side, no device sync — are reused directly;
+        the insert program stashes their outputs in-graph for a later
+        batched fetch."""
         if not reqs:
             return []
         if not isinstance(rng, np.random.Generator):
@@ -347,7 +381,12 @@ class UniTokEngine:
         for r in reqs:
             self.validate(r)
         sig = self._signature(reqs[0])
-        slots = self._free_slots()
+        if displace:
+            self._reap_host()
+            slots = [s for s in range(self.num_slots)
+                     if self._uids[s] is None or s in self._done_slots]
+        else:
+            slots = self._free_slots()
         take = []
         for r in reqs:
             if not slots:
@@ -362,10 +401,12 @@ class UniTokEngine:
                 break
             blocks = self.allocator.alloc(need)
             s = slots.pop(0)
+            take.append((s, r, blocks, self._uids[s]
+                         if s in self._done_slots else None))
+            self._done_slots.discard(s)
             self._slot_blocks[s] = blocks
             self._uids[s] = r.uid
             self._remaining[s] = steps
-            take.append((s, r, blocks))
         if not take:
             return []
 
@@ -385,7 +426,7 @@ class UniTokEngine:
                         jnp.zeros((b_pad,), jnp.int32))
             arrs = np.zeros((b_pad, bukt, dim), np.float32)
             lens = np.zeros((b_pad,), np.int32)
-            for i, (_, r, _) in enumerate(take):
+            for i, (_, r, _, _) in enumerate(take):
                 x = get(r)
                 arrs[i, : len(x)] = x
                 lens[i] = len(x)
@@ -398,7 +439,7 @@ class UniTokEngine:
         inp, inp_len = stackseg(lambda r: r.input_feats, inp_b,
                                 self.cfg.audio_dim)
         tables = np.full((b_pad, self.max_blocks), TRASH_BLOCK, np.int32)
-        for i, (_, _, blocks) in enumerate(take):
+        for i, (_, _, blocks, _) in enumerate(take):
             tables[i, : len(blocks)] = blocks
 
         def pad1(vals, fill, dt):
@@ -409,22 +450,28 @@ class UniTokEngine:
         rngs = np.zeros((b_pad, 2), np.uint32)
         for i in range(len(take)):
             rngs[i] = rng.integers(0, 2**32, size=2, dtype=np.uint32)
-        self.pool, self.state = self._prefill_insert(
+        replaced: List[Optional[int]] = [None] * b_pad
+        for i, (_, _, _, old_uid) in enumerate(take):
+            replaced[i] = old_uid
+        self.pool, self.state, stash = self._prefill_insert(
             self.params, self.pool, self.state,
-            pad1([s for s, _, _ in take], self.num_slots, np.int32),
+            pad1([s for s, _, _, _ in take], self.num_slots, np.int32),
             jnp.asarray(tables),
-            pad1([r.task_id for _, r, _ in take], 0, np.int32),
+            pad1([r.task_id for _, r, _, _ in take], 0, np.int32),
             cap, cap_len, ref, ref_len, inp, inp_len,
-            pad1([r.num_frames for _, r, _ in take], 0, np.int32),
+            pad1([r.num_frames for _, r, _, _ in take], 0, np.int32),
             jnp.asarray(rngs),
-            pad1([r.do_sample for _, r, _ in take], False, bool),
-            pad1([r.temperature for _, r, _ in take], 1.0, np.float32),
-            pad1([r.top_k for _, r, _ in take], 1, np.int32),
-            pad1([r.top_p for _, r, _ in take], 1.0, np.float32),
+            pad1([r.do_sample for _, r, _, _ in take], False, bool),
+            pad1([r.temperature for _, r, _, _ in take], 1.0, np.float32),
+            pad1([r.top_k for _, r, _, _ in take], 1, np.int32),
+            pad1([r.top_p for _, r, _, _ in take], 1.0, np.float32),
             has_cap=cap_b is not None, has_ref=ref_b is not None,
             has_inp=inp_b is not None,
         )
-        return [r.uid for _, r, _ in take]
+        if any(u is not None for u in replaced):
+            self._pending_stashes.append((replaced, stash))
+        self._stats["prefill_waves"] += 1
+        return [r.uid for _, r, _, _ in take]
 
     def _block_bound(self) -> int:
         """Static decode-read prefix bound; with a SHARED allocator the
@@ -440,34 +487,62 @@ class UniTokEngine:
             if self._uids[s] is not None and self._remaining[s] > 0:
                 self._remaining[s] = max(0, self._remaining[s] - n)
 
+    def _undelay(self, uid: int, delayed: np.ndarray,
+                 nframes: int) -> UniTokResult:
+        """Host-side delay undo on a fetched (max_steps, K) buffer: the
+        per-codebook shift (delay.undo_delay is the in-graph counterpart
+        used at training time)."""
+        t = nframes
+        codes = np.stack(
+            [delayed[k : k + t, k] for k in range(self.K)], axis=-1)
+        return UniTokResult(
+            uid, np.clip(codes, 0, self.cfg.codebook_size - 1))
+
+    def drain_stashes(self) -> List[UniTokResult]:
+        """Fetch every pending displaced-slot stash in ONE batched
+        device_get (each fetch is a full tunnel round trip)."""
+        if not self._pending_stashes:
+            return []
+        fetched = jax.device_get([st for _, st in self._pending_stashes])
+        self._stats["stash_fetches"] += 1
+        results = []
+        for (replaced, _), (outs, nf) in zip(self._pending_stashes, fetched):
+            for i, uid in enumerate(replaced):
+                if uid is not None:
+                    results.append(self._undelay(uid, outs[i], int(nf[i])))
+        self._pending_stashes = []
+        return results
+
+    def stats(self) -> Dict[str, float]:
+        return dict(self._stats)
+
     def harvest(self) -> List[UniTokResult]:
         done = [s for s in range(self.num_slots)
                 if self._uids[s] is not None and self._remaining[s] == 0]
         if not done:
             return []
-        # ONE device->host fetch for the whole harvest (each fetch is a full
-        # tunnel round trip); the delay undo is a per-codebook shift — pure
-        # host-side numpy on the already-fetched buffer (delay.undo_delay is
-        # the in-graph counterpart used at training time)
-        outs, nf = jax.device_get((self.state["out"], self.state["num_frames"]))
+        # fetch ONLY the finished rows, in one device_get (each fetch is a
+        # full tunnel round trip); delay undo is pure host-side numpy
+        rows = np.asarray(done)
+        outs, nf = jax.device_get((self.state["out"][rows],
+                                   self.state["num_frames"][rows]))
         results = []
-        for s in done:
-            steps = int(nf[s]) + self.K - 1
-            t = steps - self.K + 1
-            delayed = outs[s]  # (max_steps, K)
-            codes = np.stack(
-                [delayed[k : k + t, k] for k in range(self.K)], axis=-1)
-            codes = np.clip(codes, 0, self.cfg.codebook_size - 1)
-            results.append(UniTokResult(self._uids[s], codes))
-            self.allocator.release(self._slot_blocks[s])
-            self._slot_blocks[s] = []
+        for j, s in enumerate(done):
+            results.append(self._undelay(self._uids[s], outs[j], int(nf[j])))
+            if self._slot_blocks[s]:  # not already released by _reap_host
+                self.allocator.release(self._slot_blocks[s])
+                self._slot_blocks[s] = []
+            self._done_slots.discard(s)
             self._uids[s] = None
         return results
 
     def run(self, requests: List[UniTokRequest], rng,
             poll_interval: int = 256) -> Dict[int, UniTokResult]:
-        """Drive until all requests complete (deterministic lengths —
-        power-of-two step decomposition to each completion point)."""
+        """Drive until all requests complete: displacing admissions (no
+        device sync between waves — finished slots are reused directly and
+        their outputs stashed in-graph), power-of-two step decomposition to
+        each completion point, one batched stash drain at the end (per wave
+        with ``eager_drain=True``)."""
         if not isinstance(rng, np.random.Generator):
             rng = np.random.default_rng(
                 np.asarray(jax.random.key_data(rng), np.uint32))
@@ -476,27 +551,35 @@ class UniTokEngine:
         results: Dict[int, UniTokResult] = {}
         guard = 0
         while True:
-            for r in self.harvest():
-                results[r.uid] = r
             if pending:
                 # group by signature; admit the largest same-signature run
                 sig = self._signature(pending[0])
                 wave = [r for r in pending if self._signature(r) == sig]
-                admitted = set(self.admit_wave(wave, rng))
+                admitted = set(self.admit_wave(wave, rng, displace=True))
                 pending = [r for r in pending if r.uid not in admitted]
             active = [self._remaining[s] for s in range(self.num_slots)
                       if self._uids[s] is not None and self._remaining[s] > 0]
             if not active:
                 if pending:
                     raise RuntimeError("pool too small for pending requests")
-                for r in self.harvest():
-                    results[r.uid] = r
-                return results
+                break
             remaining = min(active)
+            first = True
             while remaining:
                 c = min(poll_interval, 1 << (remaining.bit_length() - 1))
                 self.step(n=c)
                 remaining -= c
+                if first and self.eager_drain:
+                    # overlap: fetch previous waves' stashes while these
+                    # decode chunks execute on device
+                    for r in self.drain_stashes():
+                        results[r.uid] = r
+                    first = False
             guard += 1
             if guard > 100000:
                 raise RuntimeError("engine did not converge")
+        for r in self.drain_stashes():
+            results[r.uid] = r
+        for r in self.harvest():
+            results[r.uid] = r
+        return results
