@@ -114,15 +114,29 @@ def _scatter_rows(zero, buf, pos, rows):
     return zero.at[pos].set(buf[rows], mode="drop", unique_indices=True)
 
 
-@partial(jax.jit, static_argnames=("out_dtype",))
-def _dequant_feats(rows, out_dtype):
-    """int8 feature-wire rows (B, F, D+1) -> (B, F, D) features. The last
-    column is a per-frame power-of-two exponent e; values dequantize as
-    q * 2^e (see _quantize_feats_row). Zero rows (zero template / padding)
-    carry e=0, q=0 -> exact zeros."""
+def _dequant_feats_vals(rows):
+    """int8 feature-wire rows (..., F, D+1) -> (..., F, D) fp32 features.
+    The last column is a per-frame power-of-two exponent e; values
+    dequantize as q * 2^e (see _quantize_feats_row). Zero rows (zero
+    template / padding) carry e=0, q=0 -> exact zeros."""
     q = rows[..., :-1].astype(jnp.float32)
     e = rows[..., -1:].astype(jnp.float32)
-    return (q * jnp.exp2(e)).astype(out_dtype)
+    return q * jnp.exp2(e)
+
+
+@partial(jax.jit, static_argnames=("out_dtype",))
+def _dequant_feats(rows, out_dtype):
+    return _dequant_feats_vals(rows).astype(out_dtype)
+
+
+@jax.jit
+def _scatter_rows_dequant(zero, buf, pos, rows):
+    """_scatter_rows with the int8 feature-wire dequant FUSED into the one
+    gather+scatter program: an extra dispatch per wave costs ~25 ms of
+    serialized link time on tunnel-attached chips (measured: separate
+    dequant dispatches made the int8 wire a net LOSS at 16 slots)."""
+    vals = _dequant_feats_vals(buf[rows]).astype(zero.dtype)
+    return zero.at[pos].set(vals, mode="drop", unique_indices=True)
 
 
 def _quantize_feats_row(x: np.ndarray) -> np.ndarray:
@@ -828,19 +842,30 @@ class ContinuousBatchingEngine:
                     (mix_dev, i),
                     (enr_dev, enr_row[r.uid]) if r.uid in enr_row else None)
 
-    def _gather_rows(self, refs, b_pad: int, row_shape: tuple, dtype=None):
+    def _gather_rows(self, refs, b_pad: int, row_shape: tuple, dtype=None,
+                     dequant: bool = False):
         """(buffer, row) refs (None entries -> zero rows) -> one (b_pad,
         *row_shape) device array. Single-buffer fast path is ONE jitted
         gather+scatter into a cached zero template, with index vectors
         padded to b_pad (pad positions unique and out of range -> dropped)
         so the program shape never depends on how many rows are live —
         variable shapes meant a remote recompile per wave (measured
-        seconds/wave). Mixed buffers fall back to a per-row stack."""
+        seconds/wave). Mixed buffers fall back to a per-row stack.
+
+        ``dequant``: the buffers hold int8 feature-wire rows (row_shape is
+        the WIRE shape, (bucket, D+1)); the returned array is the decoded
+        (b_pad, bucket, D) kv_dtype features — the dequant runs INSIDE the
+        one gather+scatter program (an extra dispatch costs ~25 ms of
+        serialized link time per wave, measured)."""
         dtype = self.kv_dtype if dtype is None else dtype
-        key = ("wave", b_pad, np.dtype(dtype).name) + row_shape
+        if dequant:
+            out_shape, dtype = (row_shape[0], row_shape[1] - 1), self.kv_dtype
+        else:
+            out_shape = row_shape
+        key = ("wave", b_pad, np.dtype(dtype).name) + out_shape
         zero = self._zero_rows.get(key)
         if zero is None:
-            zero = jnp.zeros((b_pad,) + row_shape, dtype)
+            zero = jnp.zeros((b_pad,) + out_shape, dtype)
             self._zero_rows[key] = zero
         live = [(pos, ref) for pos, ref in enumerate(refs) if ref is not None]
         if not live:
@@ -854,10 +879,16 @@ class ContinuousBatchingEngine:
                 [np.asarray([p for p, _ in live], np.int32), pos])
             rows = np.zeros((b_pad,), np.int32)
             rows[:k] = [ref[1] for _, ref in live]
-            return _scatter_rows(zero, buf, jnp.asarray(pos),
-                                 jnp.asarray(rows))
-        rows = [ref[0][ref[1]] if ref is not None else zero[0]
-                for ref in refs]
+            scatter = _scatter_rows_dequant if dequant else _scatter_rows
+            return scatter(zero, buf, jnp.asarray(pos), jnp.asarray(rows))
+        rows = [ref[0][ref[1]] if ref is not None else None for ref in refs]
+        if dequant:
+            wire_zero = jnp.zeros(row_shape, np.int8)
+            rows = [wire_zero if r is None else r for r in rows]
+            stacked = jnp.stack(
+                rows[:b_pad] + [wire_zero] * (b_pad - len(rows)))
+            return _dequant_feats(stacked, jnp.dtype(self.kv_dtype))
+        rows = [zero[0] if r is None else r for r in rows]
         return jnp.stack(rows[:b_pad] + [zero[0]] * (b_pad - len(rows)))
 
     def _reap_host(self) -> None:
@@ -983,26 +1014,26 @@ class ContinuousBatchingEngine:
                 meta_f[i] = (r.temperature, r.top_p)
                 admitted.append(r.uid)
 
-            # rows were bucket-padded, cast to the wire dtype (bf16 feature
-            # frames, or int16 samples for wav groups — half/quarter the
-            # tunnel bytes of fp32 frames) and transferred when they were
-            # STAGED — possibly while earlier decode chunks were still
-            # running; this gather is a device-side op
-            def _wave_input(kind, refs, bucket):
-                shape, dt = self._row_spec(kind, bucket if bucket else 1)
-                return self._gather_rows(refs, b_pad, shape,
-                                         dtype=jnp.dtype(dt.name))
+            # rows were bucket-padded, cast to the wire dtype (bf16/int8
+            # feature frames, or int16 samples for wav groups) and
+            # transferred when they were STAGED — possibly while earlier
+            # decode chunks were still running; this gather is a device-side
+            # op. On the int8 feature wire the dequant is FUSED into the one
+            # gather+scatter program (dequant=True) — a separate dequant
+            # dispatch cost ~25 ms/wave of serialized link time and made the
+            # wire a net loss at 16 slots (measured).
+            quant = self.feats_wire == "int8"
 
-            mix_in = _wave_input(mk, mix_refs, mix_b)
-            enroll_in = _wave_input(ek if ek != "-" else "f", enr_refs,
+            def _wave_feats(kind, refs, bucket):
+                shape, dt = self._row_spec(kind, bucket if bucket else 1)
+                return self._gather_rows(
+                    refs, b_pad, shape, dtype=jnp.dtype(dt.name),
+                    dequant=quant and kind == "f")
+
+            mix_in = _wave_feats(mk, mix_refs, mix_b)
+            enroll_in = _wave_feats(ek if ek != "-" else "f", enr_refs,
                                     enr_b)
             mix_is_wav, enroll_is_wav = mk == "w", ek == "w"
-            # int8 feature wire: rows gathered from "f"-spec buffers carry
-            # quantized values + a per-frame exponent column and need the
-            # (tiny, jitted) dequant dispatch before the prefill program
-            quant = self.feats_wire == "int8"
-            mix_q = quant and mk == "f"
-            enr_q = quant and ek != "w"
             if not self.fuse_frontend:
                 # split mode (default): frontend runs as its OWN jitted
                 # program per staged wave buffer — features stay on device
@@ -1023,16 +1054,11 @@ class ContinuousBatchingEngine:
                             "f", self._frames_for(enr_b))
                         enroll_in = self._gather_rows(
                             [None] * b_pad, b_pad, shape,
-                            dtype=jnp.dtype(dt.name))
-                        enr_q = quant  # zero template uses the "f" spec
+                            dtype=jnp.dtype(dt.name), dequant=quant)
                     else:
                         enroll_in = self._frontend_program(
                             self._feat_packed, enroll_in)
                     enroll_is_wav = False
-            if mix_q:
-                mix_in = _dequant_feats(mix_in, self.kv_dtype)
-            if enr_q:
-                enroll_in = _dequant_feats(enroll_in, self.kv_dtype)
             self.pool, self.state, stash = self._prefill_insert(
                 self.params, self.pool, self.state,
                 with_enroll=enr_b is not None,
