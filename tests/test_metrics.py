@@ -252,6 +252,74 @@ class TestLearnedUTMOS:
         y_j = m.apply(params, jnp.asarray(x))
         np.testing.assert_allclose(np.asarray(y_j), y_t.numpy(), atol=2e-6)
 
+    def test_converter_accepts_real_utmos22_layout(self, rng):
+        """The released UTMOS22 checkpoint's key paths (lightning module
+        attribute paths: feature_extractors.1.embedding,
+        output_layers.0.{judge_embedding,decoder_rnn},
+        output_layers.1.net.{0,3}) convert verbatim — pinned by a torch
+        twin with those exact attribute paths."""
+        import torch
+
+        from unified_audio_tpu.eval.utmos import (
+            UTMOSConfig, UTMOSHead, convert_utmos)
+
+        cfg = UTMOSConfig(ssl_dim=16, judge_dim=8, domain_dim=8,
+                          num_judges=5, num_domains=2, blstm_hidden=8,
+                          mlp_hidden=16)
+
+        class SSLStub(torch.nn.Module):
+            pass
+
+        class DomainEmbedding(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.embedding = torch.nn.Embedding(cfg.num_domains,
+                                                    cfg.domain_dim)
+
+        class LDConditioner(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.judge_embedding = torch.nn.Embedding(cfg.num_judges,
+                                                          cfg.judge_dim)
+                self.decoder_rnn = torch.nn.LSTM(
+                    cfg.ssl_dim + cfg.domain_dim + cfg.judge_dim,
+                    cfg.blstm_hidden, batch_first=True, bidirectional=True)
+
+        class Projection(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.net = torch.nn.Sequential(
+                    torch.nn.Linear(2 * cfg.blstm_hidden, cfg.mlp_hidden),
+                    torch.nn.ReLU(), torch.nn.Dropout(0.3),
+                    torch.nn.Linear(cfg.mlp_hidden, 1))
+
+        class Lightning(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.feature_extractors = torch.nn.ModuleList(
+                    [SSLStub(), DomainEmbedding()])
+                self.output_layers = torch.nn.ModuleList(
+                    [LDConditioner(), Projection()])
+
+        torch.manual_seed(4)
+        twin = Lightning()
+        variables = convert_utmos(twin.state_dict(), cfg)
+        head = UTMOSHead(cfg)
+        feats = jnp.asarray(
+            rng.standard_normal((2, 12, 16)).astype(np.float32))
+        score = head.apply(variables, feats)
+        assert np.isfinite(np.asarray(score)).all()
+        # the mapped parameters ARE the twin's tensors (not re-inits)
+        np.testing.assert_array_equal(
+            np.asarray(variables["params"]["judge_embedding"]),
+            twin.output_layers[0].judge_embedding.weight.detach().numpy())
+        np.testing.assert_array_equal(
+            np.asarray(variables["params"]["blstm"]["w_ih_l0"]),
+            twin.output_layers[0].decoder_rnn.weight_ih_l0.detach().numpy().T)
+        np.testing.assert_array_equal(
+            np.asarray(variables["params"]["linear2"]["kernel"]),
+            twin.output_layers[1].net[3].weight.detach().numpy().T)
+
     def test_metrics_utmos_variant_switch(self, rng):
         from unified_audio_tpu.eval import metrics as M
 

@@ -156,10 +156,33 @@ def _t(x):
         else np.asarray(x)
 
 
-def convert_utmos(state_dict: Dict, cfg: UTMOSConfig = UTMOSConfig()) -> Dict:
-    """torch-style UTMOS head state dict -> head variables.
+# The released UTMOS22 strong-learner checkpoint is a PyTorch-Lightning
+# module whose state-dict keys follow the module's attribute paths
+# (sarulab-speech/UTMOS22 strong/model.py + lightning_module.py):
+#   feature_extractors.0.*              SSL_model (frozen wav2vec2 wrapper;
+#                                       converted separately via models/ssl)
+#   feature_extractors.1.embedding.*    DomainEmbedding
+#   output_layers.0.judge_embedding.*   LDConditioner listener table
+#   output_layers.0.decoder_rnn.*       LDConditioner nn.LSTM(bidirectional)
+#   output_layers.1.net.{0,3}.*         Projection Sequential(Linear, ReLU,
+#                                       Dropout, Linear)
+# This mapping is mirrored here so the real checkpoint converts verbatim
+# (weights themselves are env-blocked; the layout is pinned by a torch twin
+# with these exact attribute paths in tests/test_metrics.py).
+_UTMOS22_KEYMAP = {
+    "feature_extractors.1.embedding.weight": "domain_embedding.weight",
+    "output_layers.0.judge_embedding.weight": "judge_embedding.weight",
+    "output_layers.1.net.0.weight": "linear1.weight",
+    "output_layers.1.net.0.bias": "linear1.bias",
+    "output_layers.1.net.3.weight": "linear2.weight",
+    "output_layers.1.net.3.bias": "linear2.bias",
+}
 
-    Expected keys (prefixes like ``model.`` are stripped):
+
+def convert_utmos(state_dict: Dict, cfg: UTMOSConfig = UTMOSConfig()) -> Dict:
+    """torch UTMOS head state dict -> head variables. Accepts BOTH the real
+    UTMOS22 lightning layout (attribute paths above, ``model.`` prefix
+    stripped) and the canonical layout ``export_utmos_state_dict`` emits:
       judge_embedding.weight, domain_embedding.weight,
       blstm.weight_ih_l0 / weight_hh_l0 / bias_ih_l0 / bias_hh_l0
       (+ ``_reverse`` set), linear1.weight/bias, linear2.weight/bias.
@@ -170,6 +193,9 @@ def convert_utmos(state_dict: Dict, cfg: UTMOSConfig = UTMOSConfig()) -> Dict:
         for pre in ("model.", "head.", "mos_predictor."):
             if k.startswith(pre):
                 k = k[len(pre):]
+        if k.startswith("output_layers.0.decoder_rnn."):
+            k = "blstm." + k[len("output_layers.0.decoder_rnn."):]
+        k = _UTMOS22_KEYMAP.get(k, k)
         sd[k] = v
     p = {
         "judge_embedding": _t(sd["judge_embedding.weight"]),
