@@ -6,11 +6,15 @@ The image lacks a few pip packages the reference imports
 minimal shims are installed in sys.modules first. Every numerical path under
 test is the reference's genuine code, with two documented exceptions:
 
-* ``vector_quantize_pytorch.ResidualVQ`` is routed onto the reference's own
-  in-repo ``core_vq.ResidualVectorQuantization`` (HCodec-1.0/vq/core_vq.py —
-  the reference RVQ semantics, SURVEY H11), adapting only the (B,T,D)
-  interface and keeping the state-dict layout the converters expect
-  (``layers.{i}._codebook.embed`` — identical key paths in both).
+* ``vector_quantize_pytorch.ResidualVQ`` is a pip-faithful reimplementation
+  of version 1.22.15's EVAL path (the pinned version every shipped HCodec
+  config constructs, HCodec-1.0/requirements.txt:54): the package's own
+  cdist distance (quadratic expansion + clamp + sqrt), residual cascade,
+  codes (B,T,Nq), and its exact state-dict layout — ``layers.{i}._codebook.
+  {embed, embed_avg, cluster_size, initted}`` with embed stored (1, C, D)
+  (the leading num_codebooks dim the in-repo core_vq does not have).
+  Training-only machinery (EMA/expiry/dropout/kmeans) is omitted; goldens
+  force-init codebooks, matching checkpoints where ``initted`` is True.
 * ``einx.get_at`` is implemented for the one pattern ResidualFSQ uses
   (``"q [c] d, b n q -> q b n d"``, residual_fsq.py:136) — a pure gather.
 
@@ -56,27 +60,117 @@ def _core_vq():
     return importlib.import_module("ref_hc10_vq.core_vq")
 
 
-def _make_residual_vq(*, dim, codebook_size, num_quantizers, decay=0.99,
-                      kmeans_init=True, kmeans_iters=50,
-                      quantize_dropout=False, threshold_ema_dead_code=2,
-                      **kw):
-    """pip ResidualVQ interface (B,T,D in/out, codes (B,T,Nq)) over the
-    reference's own core_vq.ResidualVectorQuantization (B,D,T)."""
-    core = _core_vq()
+def _vq_cdist(x: torch.Tensor, y: torch.Tensor) -> torch.Tensor:
+    """vector_quantize_pytorch's own cdist helper (the package avoids
+    torch.cdist): quadratic expansion, clamp(min=0), sqrt. sqrt is monotone
+    under IEEE rounding, so the argmin ranking matches the quadratic form
+    except for exact ties created by the clamp."""
+    x2 = (x ** 2).sum(dim=-1)
+    y2 = (y ** 2).sum(dim=-1)
+    xy = torch.einsum("h i d, h j d -> h i j", x, y) * -2
+    return (x2[..., :, None] + y2[..., None, :] + xy).clamp(min=0).sqrt()
 
-    class _Adapter(core.ResidualVectorQuantization):
-        def forward(self, x, **kwargs):  # x: (B, T, D)
-            q, codes, losses = super().forward(x.transpose(-2, -1))
-            # core: q (B,D,T), codes (Nq,B,T), losses (Nq,1)
-            return q.transpose(-2, -1), codes.permute(1, 2, 0), losses
 
-        def get_output_from_indices(self, codes):  # codes: (B, T, Nq)
-            return self.decode(codes.permute(2, 0, 1)).transpose(-2, -1)
+class _PipEuclideanCodebook(torch.nn.Module):
+    """vector_quantize_pytorch 1.22.x EuclideanCodebook, EVAL path, with the
+    pip state-dict layout: buffers ``initted`` (1,), ``cluster_size``
+    (1, C), ``embed_avg`` (1, C, D), ``embed`` (1, C, D) — note the leading
+    num_codebooks=1 dim the in-repo core_vq does NOT have. Training-only
+    machinery (EMA update, dead-code expiry, gumbel sampling) is omitted;
+    the goldens exercise inference. kmeans init on first forward is
+    replaced by a guard — the goldens force-init via init_rvq_codebooks,
+    matching deployment where ``initted`` loads as True."""
 
-    return _Adapter(num_quantizers=num_quantizers, dim=dim,
-                    codebook_size=codebook_size, decay=decay,
-                    kmeans_init=kmeans_init, kmeans_iters=kmeans_iters,
-                    threshold_ema_dead_code=threshold_ema_dead_code)
+    def __init__(self, dim, codebook_size, kmeans_init=False):
+        super().__init__()
+        if kmeans_init:
+            embed = torch.zeros(1, codebook_size, dim)
+        else:
+            embed = torch.empty(1, codebook_size, dim).uniform_(
+                -1.0 / codebook_size, 1.0 / codebook_size)
+        self.register_buffer("initted", torch.Tensor([not kmeans_init]))
+        self.register_buffer("cluster_size", torch.zeros(1, codebook_size))
+        self.register_buffer("embed_avg", embed.clone())
+        self.register_buffer("embed", embed)
+
+    def forward(self, x):  # x: (B, N, D) -> quantize (B, N, D), ind (B, N)
+        if not bool(self.initted):
+            raise RuntimeError(
+                "shim codebook used before init: force-init with "
+                "init_rvq_codebooks (pip would kmeans-init from this batch)")
+        flatten = x.reshape(1, -1, x.shape[-1])
+        dist = -_vq_cdist(flatten, self.embed)
+        ind = dist.argmax(dim=-1)  # (1, B*N)
+        quantize = self.embed[0][ind[0]].reshape(x.shape)
+        return quantize, ind.reshape(x.shape[:-1])
+
+
+class _PipVectorQuantize(torch.nn.Module):
+    """vector_quantize_pytorch 1.22.x VectorQuantize, eval path, heads=1,
+    euclidean (use_cosine_sim=False), codebook_dim == dim (the shipped
+    HCodec configs pass no codebook_dim, so project_in/out are Identity —
+    matching the pip module, whose Identities add no state-dict keys)."""
+
+    def __init__(self, dim, codebook_size, kmeans_init=False):
+        super().__init__()
+        self.project_in = torch.nn.Identity()
+        self.project_out = torch.nn.Identity()
+        self._codebook = _PipEuclideanCodebook(dim, codebook_size,
+                                               kmeans_init)
+
+    def forward(self, x):
+        x = self.project_in(x)
+        quantize, embed_ind = self._codebook(x)
+        # eval: straight-through is identity; commit loss is a zero scalar
+        return (self.project_out(quantize), embed_ind,
+                torch.zeros((), dtype=x.dtype, device=x.device))
+
+
+class ResidualVQ(torch.nn.Module):
+    """pip-faithful ResidualVQ (vector-quantize-pytorch 1.22.15 — the
+    version every shipped HCodec config constructs, requirements.txt:54),
+    eval path: residual cascade over ``layers`` of VectorQuantize, codes
+    stacked (B, T, Nq), ``get_output_from_indices`` = per-layer gather +
+    sum. quantize_dropout is training-only (eval uses all quantizers).
+    State-dict key paths AND shapes match the pip package
+    (``layers.{i}._codebook.embed`` stored (1, C, D))."""
+
+    def __init__(self, *, dim, codebook_size, num_quantizers, decay=0.99,
+                 kmeans_init=False, kmeans_iters=10,
+                 quantize_dropout=False, threshold_ema_dead_code=2, **kw):
+        super().__init__()
+        self.num_quantizers = num_quantizers
+        self.layers = torch.nn.ModuleList(
+            [_PipVectorQuantize(dim, codebook_size, kmeans_init)
+             for _ in range(num_quantizers)])
+
+    @property
+    def codebooks(self):  # (Q, C, D)
+        return torch.stack(
+            [layer._codebook.embed[0] for layer in self.layers])
+
+    def forward(self, x, **kwargs):  # x: (B, T, D)
+        quantized_out = torch.zeros_like(x)
+        residual = x
+        all_indices, all_losses = [], []
+        for layer in self.layers:
+            quantized, indices, loss = layer(residual)
+            residual = residual - quantized.detach()
+            quantized_out = quantized_out + quantized
+            all_indices.append(indices)
+            all_losses.append(loss)
+        return (quantized_out, torch.stack(all_indices, dim=-1),
+                torch.stack(all_losses, dim=-1))
+
+    def get_codes_from_indices(self, indices):  # (B, T, Q) -> (Q, B, T, D)
+        cbs = self.codebooks
+        mask = indices == -1  # quantize-dropout padding in the pip package
+        idx = indices.masked_fill(mask, 0).permute(2, 0, 1)
+        codes = torch.stack([cbs[q][idx[q]] for q in range(len(cbs))])
+        return codes.masked_fill(mask.permute(2, 0, 1)[..., None], 0.0)
+
+    def get_output_from_indices(self, indices):  # (B, T, Q) -> (B, T, D)
+        return self.get_codes_from_indices(indices).sum(dim=0)
 
 
 def _einx_get_at(pattern, codebooks, indices):
@@ -99,7 +193,7 @@ def _stub_module(name: str) -> types.ModuleType:
 def install_stubs() -> None:
     if "vector_quantize_pytorch" not in sys.modules:
         m = _stub_module("vector_quantize_pytorch")
-        m.ResidualVQ = _make_residual_vq
+        m.ResidualVQ = ResidualVQ
 
         class _NeverConstructed:
             def __init__(self, *a, **k):
@@ -305,15 +399,20 @@ def _raising_stub(name: str, attrs) -> None:
 
 
 def init_rvq_codebooks(rvq, gen: torch.Generator) -> None:
-    """Force-init an (adapter) RVQ's EMA codebooks with random entries so
-    eval-mode NN search is deterministic (kmeans init waits for data)."""
+    """Force-init an RVQ's EMA codebooks with random entries so eval-mode
+    NN search is deterministic (kmeans init waits for data)."""
     for layer in rvq.layers:
         cb = layer._codebook
         embed = torch.randn(cb.embed.shape, generator=gen) * 0.5
         cb.embed.copy_(embed)
         cb.embed_avg.copy_(embed.clone())
         cb.cluster_size.fill_(1.0)
-        cb.inited.fill_(True)  # core_vq spells it 'inited' (vqtorch: 'initted')
+        # core_vq spells it 'inited'; vqtorch (and the pip-faithful shim
+        # above) 'initted'
+        flag = getattr(cb, "initted", None)
+        if flag is None:
+            flag = cb.inited
+        flag.fill_(True)
 
 
 def load_hcodec10():
