@@ -835,11 +835,11 @@ class TestWaveformAdmission:
         with pytest.raises(ValueError, match="feature_fn"):
             plain.validate(Request(task_id=0, mix_wav=wav, **short))
         eng = self._engine(sft, params, frontend_params)
-        with pytest.raises(ValueError, match="both"):
+        with pytest.raises(ValueError, match="exactly one"):
             eng.validate(Request(task_id=0, mix_wav=wav,
                                  mix_feats=np.zeros((10, 12), np.float32),
                                  **short))
-        with pytest.raises(ValueError, match="neither"):
+        with pytest.raises(ValueError, match="exactly one"):
             eng.validate(Request(task_id=0, **short))
         with pytest.raises(ValueError, match="both enroll"):
             eng.validate(Request(

@@ -54,7 +54,7 @@ from __future__ import annotations
 
 import math
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 from functools import partial
 from typing import Dict, List, Optional, Sequence
 
@@ -85,6 +85,13 @@ class Request:
     enroll_feats: Optional[np.ndarray] = None  # (T, D) or None
     mix_wav: Optional[np.ndarray] = None  # (N,) float in [-1, 1]
     enroll_wav: Optional[np.ndarray] = None  # (N,) or None
+    # inputs that already live ON DEVICE (serve/cascade.py: the SS
+    # cascade's SE-phase output featurized in place, and segment features
+    # shared between its TSE and rTSE passes): the true frame count here,
+    # with the (buffer, row) references supplied via stage_request()
+    # before admission — the feature rows never cross the host link
+    mix_device_frames: Optional[int] = None
+    enroll_device_frames: Optional[int] = None
     global_length: int = 32
     semantic_length: int = 250
     temperature: float = 0.8
@@ -647,12 +654,31 @@ class ContinuousBatchingEngine:
         if not (1 <= req.top_k <= self.max_top_k):
             raise ValueError(
                 f"top_k {req.top_k} not in [1, {self.max_top_k}]")
-        if req.mix_wav is not None and req.mix_feats is not None:
-            raise ValueError("request has both mix_wav and mix_feats")
-        if req.mix_wav is None and req.mix_feats is None:
-            raise ValueError("request has neither mix_wav nor mix_feats")
+        n_mix = sum(x is not None for x in
+                    (req.mix_wav, req.mix_feats, req.mix_device_frames))
+        if n_mix != 1:
+            raise ValueError(
+                "request needs exactly one of mix_wav / mix_feats / "
+                f"mix_device_frames, got {n_mix}")
         if req.enroll_wav is not None and req.enroll_feats is not None:
             raise ValueError("request has both enroll_wav and enroll_feats")
+        if req.enroll_device_frames is not None and (
+                req.enroll_wav is not None or req.enroll_feats is not None):
+            raise ValueError(
+                "enroll_device_frames excludes enroll_wav/enroll_feats")
+        if (req.enroll_device_frames is not None
+                or req.mix_device_frames is not None):
+            if self.feats_wire != "bf16":
+                raise ValueError(
+                    "device-staged inputs require feats_wire='bf16' "
+                    "(device rows are engine-dtype feature frames; the int8 "
+                    "wire's packed rows would need an on-device quantizer)")
+            if req.enroll_device_frames is not None:
+                _pick_bucket(req.enroll_device_frames, self.enroll_buckets,
+                             "enroll_device")
+            if req.mix_device_frames is not None:
+                _pick_bucket(req.mix_device_frames, self.mix_buckets,
+                             "mix_device")
         if ((req.mix_wav is not None or req.enroll_wav is not None)
                 and (self.feature_fn is None or not self.wav_buckets)):
             raise ValueError(
@@ -660,7 +686,7 @@ class ContinuousBatchingEngine:
                 "feature_fn + wav_buckets")
         if req.is_wav:
             _pick_bucket(req.mix_wav.shape[-1], self.wav_buckets, "mix_wav")
-        else:
+        elif req.mix_feats is not None:
             _pick_bucket(req.mix_feats.shape[0], self.mix_buckets, "mix")
         if req.enroll_wav is not None:
             _pick_bucket(req.enroll_wav.shape[-1],
@@ -683,15 +709,20 @@ class ContinuousBatchingEngine:
         return f
 
     def _mix_frames(self, req: Request) -> int:
-        """True mix length in feature frames (either input form)."""
-        return (self._frames_for(req.mix_wav.shape[-1]) if req.is_wav
-                else req.mix_feats.shape[0])
+        """True mix length in feature frames (any input form)."""
+        if req.is_wav:
+            return self._frames_for(req.mix_wav.shape[-1])
+        if req.mix_device_frames is not None:
+            return req.mix_device_frames
+        return req.mix_feats.shape[0]
 
     def _enroll_frames(self, req: Request) -> Optional[int]:
         if req.enroll_wav is not None:
             return self._frames_for(req.enroll_wav.shape[-1])
         if req.enroll_feats is not None:
             return req.enroll_feats.shape[0]
+        if req.enroll_device_frames is not None:
+            return req.enroll_device_frames
         return None
 
     def _signature(self, req: Request):
@@ -707,6 +738,10 @@ class ContinuousBatchingEngine:
             mk = "w"
             mix_b = _pick_bucket(req.mix_wav.shape[-1], self.wav_buckets,
                                  "mix_wav")
+        elif req.mix_device_frames is not None:
+            mk = "f"
+            mix_b = _pick_bucket(req.mix_device_frames, self.mix_buckets,
+                                 "mix_device")
         else:
             mk = "f"
             mix_b = _pick_bucket(req.mix_feats.shape[0], self.mix_buckets,
@@ -719,6 +754,12 @@ class ContinuousBatchingEngine:
             ek = "f"
             enr_b = _pick_bucket(req.enroll_feats.shape[0],
                                  self.enroll_buckets, "enroll")
+        elif req.enroll_device_frames is not None:
+            # device-staged enrollment rows are engine-dtype feature frames
+            # (stage_request contract): they ride the feats gather path
+            ek = "f"
+            enr_b = _pick_bucket(req.enroll_device_frames,
+                                 self.enroll_buckets, "enroll_device")
         elif self.unify_waves:
             # enroll-less requests join the widest enroll group: their zero
             # enroll rows are compacted out in-graph (n_head=1), so the only
@@ -773,6 +814,12 @@ class ContinuousBatchingEngine:
         transfer (async under jax dispatch). Staged entries are (buffer,
         row) references — single-row buffers here, wave-wide buffers from
         :meth:`prestage`."""
+        if (req.enroll_device_frames is not None
+                or req.mix_device_frames is not None):
+            raise ValueError(
+                f"request {req.uid} declares device-staged inputs but "
+                "was never staged — call stage_request(req, ...) "
+                "with the on-device (buffer, row) refs before admission")
         mk, mix_b, ek, enr_b = self._signature(req)
         shape, dt = self._row_spec(mk, mix_b)
         mix = np.zeros((1,) + shape, dt)  # rows cast on assignment
@@ -803,6 +850,13 @@ class ContinuousBatchingEngine:
                 if r.uid not in self._staged]
         if not todo:
             return
+        for r in todo:
+            if (r.enroll_device_frames is not None
+                    or r.mix_device_frames is not None):
+                raise ValueError(
+                    f"request {r.uid} declares device-staged inputs but "
+                    "was never staged — call stage_request(req, ...) "
+                    "before handing it to the engine")
         groups: Dict[tuple, List[Request]] = {}
         for r in todo:
             groups.setdefault(self._signature(r), []).append(r)
@@ -841,6 +895,32 @@ class ContinuousBatchingEngine:
                 self._staged[r.uid] = (
                     (mix_dev, i),
                     (enr_dev, enr_row[r.uid]) if r.uid in enr_row else None)
+
+    def stage_request(self, req: Request, mix_ref=None, enroll_ref=None
+                      ) -> None:
+        """Stage a request from caller-provided device buffers.
+
+        ``mix_ref`` / ``enroll_ref`` are ``(buffer, row)`` pairs pointing
+        into device arrays whose rows follow the staged-row contract:
+        feature rows are ``(bucket, feats_dim)`` in the engine compute dtype
+        (``kv_dtype``), zero-padded past the true frame count, with
+        ``bucket`` one of the engine's admission buckets. This is how
+        device-RESIDENT inputs (e.g. the SS cascade's SE output featurized
+        in place, serve/cascade.py) enter the pool without their feature
+        rows ever crossing the host link. A ``None`` mix_ref falls back to
+        the regular single-row host staging path."""
+        self.validate(req)
+        if mix_ref is None and req.mix_device_frames is not None:
+            raise ValueError(
+                "mix_device_frames set but no mix_ref supplied")
+        if enroll_ref is None and req.enroll_device_frames is not None:
+            raise ValueError(
+                "enroll_device_frames set but no enroll_ref supplied")
+        if mix_ref is None:
+            mix_ref = self._stage_one(
+                req if req.enroll_device_frames is None else
+                replace(req, enroll_device_frames=None))[0]
+        self._staged[req.uid] = (mix_ref, enroll_ref)
 
     def _gather_rows(self, refs, b_pad: int, row_shape: tuple, dtype=None,
                      dequant: bool = False):
@@ -1151,11 +1231,18 @@ class ContinuousBatchingEngine:
         BlockAllocator.bounded_high_water)."""
         return self.allocator.bounded_high_water()
 
-    def step(self, n: int = 1):
+    def step(self, n: int = 1, nb: Optional[int] = None):
+        """Decode ``n`` tokens for every active slot. ``nb`` overrides the
+        pool-read bound (default: the allocator's current bucketed high
+        water) — benchmarks re-timing a finished run's compiled programs
+        must pass the run's bound (stats()["last_nb"]): after the final
+        release the high water DROPS, and a fresh (n, nb) pairing is a new
+        program (a multi-second remote compile on this deployment)."""
         lm_params = self.params["params"]["lm"]
+        nb = self._block_bound() if nb is None else nb
+        self._stats["last_nb"] = nb
         self.pool, self.state = self._step_n(lm_params, self.pool,
-                                             self.state, n=n,
-                                             nb=self._block_bound())
+                                             self.state, n=n, nb=nb)
         self._phase_cache = None
         self._stats["decode_steps"] += n
         self._stats["step_dispatches"] += 1
