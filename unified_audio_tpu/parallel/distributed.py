@@ -64,13 +64,18 @@ def make_hybrid_mesh(ici: Dict[str, int],
     if int(np.prod(dcn_shape)) == 1:
         arr = mesh_utils.create_device_mesh(ici_shape, devices=devices)
     else:
-        # create_hybrid_device_mesh needs per-device slice placement; on a
-        # single-slice topology (CPU/dev boxes, one-slice TPUs) that
-        # attribute is absent and only the DCN placement optimization is
-        # lost — the axis algebra still applies. Detect up front instead of
-        # swallowing arbitrary errors, and say so when falling back.
-        has_slices = all(
-            getattr(d, "slice_index", None) is not None for d in devices)
+        # create_hybrid_device_mesh needs per-device slice placement AND as
+        # many distinct slices as the dcn product; on a single-slice
+        # topology (CPU/dev boxes, one-slice TPUs — where every device
+        # reports slice 0, or none reports one) only the DCN placement
+        # optimization is lost — the axis algebra still applies. Detect up
+        # front instead of swallowing arbitrary errors, and say so when
+        # falling back. (Found by the two-process CPU smoke test: both
+        # processes' devices carry slice_index=0, so presence alone is the
+        # wrong gate.)
+        slice_ids = {getattr(d, "slice_index", None) for d in devices}
+        has_slices = (None not in slice_ids
+                      and len(slice_ids) == int(np.prod(dcn_shape)))
         if has_slices:
             arr = mesh_utils.create_hybrid_device_mesh(
                 ici_shape, dcn_shape, devices=devices)
