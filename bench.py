@@ -114,19 +114,18 @@ def main():
 
     rtfx = seconds / dt
 
-    # bf16 SERVING mode: weights + activations bf16 with fp32 VQ-distance /
-    # ISTFT islands (models/hcodec/tokenizer.py dtype=...), int16 waveform
-    # wire (exact for 16-bit PCM targets, quarter the fetch bytes of fp32 —
-    # the fetch is a visible slice of single-request latency on the ~70
-    # MB/s link). The fp32 number above stays the comparable headline.
-    from unified_audio_tpu.utils.precision import bf16_params
-
-    ssl_bf16 = bf16_params(tok.ssl_variables)
-    codec_bf16 = bf16_params(tok.codec_variables)
-
+    # STREAMED serving throughput: K single-wav round trips in flight with
+    # an int16 PCM wire both ways. The synchronous headline above is
+    # latency-shaped — at ~8.5 ms device time per 10 s wav it is dominated
+    # by the ~25 ms tunnel RTT plus the 640 KB fp32 waveform fetch
+    # (measured: benchmarks/probe_codec_bf16.py). A deployment streams
+    # requests, so dispatches overlap and the RTT amortizes; int16 is
+    # exact for 16-bit PCM sources and quarters the bytes. The timed
+    # window includes the INPUT transfers too (bytes in + compute + bytes
+    # out) — nothing rides for free. Same fp32 numerics as the headline.
     @jax.jit
-    def _fused_bf16(ssl_vars, codec_vars, w):
-        w = w.astype(jnp.bfloat16)
+    def _fused_i16(ssl_vars, codec_vars, w16):
+        w = w16.astype(jnp.float32) / 32768.0
         padded = jnp.pad(w, [(0, 0), (160, 160)])
         from unified_audio_tpu.models.ssl.wav2vec2 import hubert_features
 
@@ -134,16 +133,26 @@ def main():
         ac, sem = tok.codec.apply(codec_vars, w[..., None], feats,
                                   method="encode")
         out = tok.codec.apply(codec_vars, ac, sem, method="decode")
-        return jnp.clip(jnp.rint(out.astype(jnp.float32) * 32768.0),
-                        -32768, 32767).astype(jnp.int16)
+        return jnp.clip(jnp.rint(out * 32768.0), -32768, 32767
+                        ).astype(jnp.int16)
 
-    _ = np.asarray(_fused_bf16(ssl_bf16, codec_bf16, wav))
-    times = []
-    for _ in range(iters):
+    k_stream = 8
+    host_rng = np.random.default_rng(1)
+    wavs_i16 = [
+        np.clip(host_rng.standard_normal((1, int(seconds * sr))) * 8192,
+                -32768, 32767).astype(np.int16)
+        for _ in range(k_stream)
+    ]
+    _ = np.asarray(_fused_i16(tok.ssl_variables, tok.codec_variables,
+                              jnp.asarray(wavs_i16[0])))  # compile
+    stream_times = []
+    for _ in range(3):
         t0 = time.perf_counter()
-        _ = np.asarray(_fused_bf16(ssl_bf16, codec_bf16, wav))
-        times.append(time.perf_counter() - t0)
-    rtfx_bf16 = seconds / sorted(times)[len(times) // 2]
+        outs = [_fused_i16(tok.ssl_variables, tok.codec_variables,
+                           jnp.asarray(w)) for w in wavs_i16]
+        jax.device_get(outs)  # one batched fetch barrier for the window
+        stream_times.append(time.perf_counter() - t0)
+    rtfx_streamed = k_stream * seconds / sorted(stream_times)[1]
 
     # secondary headline: UniSE AR generation tokens/sec (bf16, batch 16) —
     # the BASELINE north star's second number (>=5x reference tokens/s)
@@ -269,7 +278,7 @@ def main():
         "vs_baseline": round(rtfx / 50.0, 3),
         "platform": platform,
         "extra": {
-            "hcodec10_rtfx_bf16_serving": round(rtfx_bf16, 2),
+            "hcodec10_rtfx_streamed_i16": round(rtfx_streamed, 2),
             "unise_ar_tokens_per_sec_b16_bf16": round(unise_tok_s, 1),
             "engine_sustained_tokens_per_sec": round(engine_tok_s, 1),
             "engine_sustained_median": round(engine_tok_s_median, 1),

@@ -79,6 +79,33 @@ class TestServeCLI:
             assert out.shape[-1] == 9600
             assert np.isfinite(out).all()
 
+    def test_serve_ss_cascade(self, tmp_path, rng, monkeypatch):
+        """An "ss" request runs the cascade through the shared pool and
+        writes _s1/_s2, while a regular SE request rides the same run."""
+        from unified_audio_tpu import cli
+
+        unise = tiny_unise()
+        monkeypatch.setattr(cli, "_build_unise",
+                            lambda seed=3407, ckpt=None: unise)
+        wav = (0.2 * rng.standard_normal(9600)).astype(np.float32)
+        write_wav(tmp_path / "mix.wav", wav, 16000)
+        reqs = [
+            {"task": "ss", "mix": str(tmp_path / "mix.wav"),
+             "output": str(tmp_path / "out_ss.wav"), "do_sample": False},
+            {"task": "se", "mix": str(tmp_path / "mix.wav"),
+             "output": str(tmp_path / "out_se.wav"), "do_sample": False},
+        ]
+        req_file = tmp_path / "reqs.jsonl"
+        req_file.write_text("\n".join(json.dumps(r) for r in reqs))
+        cli.main(["serve", "--requests", str(req_file), "--slots", "2"])
+
+        from unified_audio_tpu.data.audio_io import read_wav
+
+        for name in ("out_ss_s1.wav", "out_ss_s2.wav", "out_se.wav"):
+            out, fs = read_wav(tmp_path / name)
+            assert fs == 16000 and out.shape[-1] == 9600
+            assert np.isfinite(out).all()
+
     def test_serve_validates_inputs(self, tmp_path):
         from unified_audio_tpu import cli
 

@@ -850,3 +850,49 @@ class TestWaveformAdmission:
             eng.validate(Request(task_id=0,
                                  mix_wav=np.zeros(100, np.float32),
                                  **short))
+
+
+class TestInt8KVPool:
+    """kv_quant="int8" end-to-end: the engine serves from an int8 block
+    pool; the Pallas q8 stream kernel and the XLA dequant path produce
+    token-identical results (same quantized pool, same fp32 dequant)."""
+
+    def test_int8_engine_kernel_equals_xla(self, setup):
+        cfg, sft, params, rng = setup
+
+        def run(use_kernel):
+            eng = make_engine(sft, params, kv_quant="int8",
+                              use_flash_kernel=use_kernel)
+            assert "k_scale" in eng.pool
+            reqs = [
+                Request(task_id=i % 3,
+                        mix_feats=np.random.default_rng(i).standard_normal(
+                            (10, 12)).astype(np.float32),
+                        enroll_feats=(
+                            np.random.default_rng(100 + i).standard_normal(
+                                (10, 12)).astype(np.float32)
+                            if i % 3 else None),
+                        global_length=4, semantic_length=6,
+                        do_sample=False, uid=i)
+                for i in range(5)
+            ]
+            return eng.run(reqs, jax.random.PRNGKey(0))
+
+        a, b = run(False), run(True)
+        assert set(a) == set(b) == set(range(5))
+        for u in a:
+            np.testing.assert_array_equal(a[u].global_ids, b[u].global_ids)
+            np.testing.assert_array_equal(a[u].semantic_ids,
+                                          b[u].semantic_ids)
+
+    def test_shared_pool_quant_mismatch_rejected(self, setup):
+        cfg, sft, params, rng = setup
+        base = make_engine(sft, params)  # bf16/fp pool
+        with pytest.raises(ValueError, match="conflicts"):
+            make_engine(sft, params, pool_ref=base._pool_ref,
+                        allocator=base.allocator, kv_quant="int8")
+        # kv_quant=None means "infer from the shared pool"
+        eng = make_engine(sft, params, kv_quant="int8")
+        eng2 = make_engine(sft, params, pool_ref=eng._pool_ref,
+                           allocator=eng.allocator)
+        assert eng2.kv_quant == "int8"

@@ -108,3 +108,48 @@ class TestHCodec20Tokenizer:
         assert ac.shape == (1, 2, 4)  # (B, nq, T @ 12.5 Hz)
         rec = tok.detokenize(ac, sem)
         assert rec.shape == (1, 3840 * 4)
+
+
+class TestBf16ServingMode:
+    def test_bf16_close_to_f32(self, rng):
+        """bf16 serving mode (dtype=jnp.bfloat16): fp32 VQ-distance and
+        ISTFT islands keep the output close to the fp32 path — most token
+        IDs agree (only near-tie codebook assignments may flip) and the
+        decoded waveforms of the SAME codes stay within bf16 rounding."""
+        from unified_audio_tpu.models.hcodec.tokenizer import HCodecTokenizer
+        from tests.test_unise import tiny_ssl_cfg
+
+        cfg = small10()
+        tok32 = HCodecTokenizer.from_random(
+            jax.random.PRNGKey(0), cfg, tiny_ssl_cfg(cfg.feat_dim))
+        wav = jnp.asarray(rng.standard_normal((1, 640 * 8)).astype(np.float32))
+        # k-means-init the codebooks with one train pass: fresh EMA RVQ
+        # codebooks are ZEROS, so decode would be identically zero and the
+        # closeness checks vacuous
+        feats = tok32.extract_features(wav)
+        _, mut = tok32.codec.apply(
+            tok32.codec_variables, wav[..., None], feats, train=True,
+            mutable=["codebook"], rngs={"quant": jax.random.PRNGKey(3)})
+        vars_init = {**tok32.codec_variables, "codebook": mut["codebook"]}
+        tok32 = HCodecTokenizer(cfg, vars_init, tok32.ssl.config,
+                                tok32.ssl_variables)
+        tok16 = HCodecTokenizer(cfg, vars_init,
+                                tok32.ssl.config, tok32.ssl_variables,
+                                dtype=jnp.bfloat16)
+        ac32, sem32 = tok32.tokenize(wav)
+        ac16, sem16 = tok16.tokenize(wav)
+        agree = float(np.mean(
+            np.concatenate([(np.asarray(ac32) == np.asarray(ac16)).ravel(),
+                            (np.asarray(sem32) == np.asarray(sem16)).ravel()])
+        ))
+        assert agree >= 0.75, f"token agreement {agree}"
+
+        rec32 = np.asarray(tok32.detokenize(ac32, sem32))
+        rec16 = np.asarray(tok16.detokenize(ac32, sem32))  # same codes
+        assert rec16.dtype == np.float32
+        err = np.abs(rec16 - rec32)
+        scale = np.abs(rec32).max() + 1e-9
+        assert float(err.max()) / scale < 0.15, float(err.max()) / scale
+        snr = 10 * np.log10(
+            float(np.mean(rec32 ** 2)) / (float(np.mean(err ** 2)) + 1e-20))
+        assert snr > 15.0, f"decode SNR vs fp32 = {snr:.1f} dB"

@@ -192,3 +192,115 @@ class TestStreamFlashDecode:
                 np.testing.assert_array_equal(np.stack(toks), ref_toks)
             else:
                 ref_toks = np.stack(toks)
+
+
+class TestInt8PoolStreamDecode:
+    """Round-4 int8 KV pool: the q8 stream kernel == the XLA int8-dequant
+    path exactly (same quantized values, same fp32 dequant math), and the
+    int8 pool tracks the fp pool closely."""
+
+    def _setup(self, rng, quant):
+        from unified_audio_tpu.models.lm.llama import LlamaConfig, init_cache
+        from unified_audio_tpu.models.lm.sft import LLMSFT
+        from unified_audio_tpu.serve.paged import init_pool, scatter_prefill
+
+        cfg = LlamaConfig(global_size=16, semantic_size=32, hidden_size=32,
+                          num_layers=2, num_heads=4)
+        sft = LLMSFT(cfg, feats_dim=8)
+        mix0 = jnp.zeros((1, 4, 8), jnp.float32)
+        variables = sft.init(
+            jax.random.PRNGKey(0), 0, None, mix0,
+            jnp.zeros((1, 4), jnp.int32), jnp.zeros((1, 4), jnp.int32))
+        lm_params = variables["params"]["lm"]
+
+        bs, nb_total, s_slots = 8, 40, 2
+        pool = init_pool(cfg, nb_total, bs, quant=quant)
+        tables = jnp.asarray([[1, 2, 3], [4, 5, 6]], jnp.int32)
+        prompt = jnp.asarray(
+            rng.standard_normal((s_slots, 10, cfg.hidden_size)).astype(
+                np.float32))
+        cache = init_cache(cfg, s_slots, 10)
+        _, cache = sft.apply(variables, prompt, cache,
+                             method=lambda m, p, c: m.lm.prefill(p, c))
+        pool = scatter_prefill(pool, tables, cache["k"], cache["v"], bs)
+        return cfg, lm_params, pool, tables, bs
+
+    def test_quantize_kv_bounds(self, rng):
+        from unified_audio_tpu.serve.paged import quantize_kv
+
+        x = jnp.asarray(rng.standard_normal((5, 64)), jnp.float32)
+        q, sc = quantize_kv(x)
+        assert q.dtype == jnp.int8 and sc.shape == (5,)
+        deq = np.asarray(q, np.float32) * np.asarray(sc)[:, None]
+        err = np.abs(deq - np.asarray(x))
+        # symmetric int8: error bounded by half a quantization step
+        assert (err <= np.asarray(sc)[:, None] * 0.5 + 1e-7).all()
+        # exactly representable rows round-trip bit-identically
+        row = (jnp.arange(64, dtype=jnp.float32) - 32.0) * 2.0  # n * amax/127?
+        row = row.at[0].set(127.0)  # amax 127 -> scale 1.0 -> integers exact
+        q2, sc2 = quantize_kv(row[None])
+        deq2 = np.asarray(q2, np.float32)[0] * float(sc2[0])
+        np.testing.assert_array_equal(deq2, np.asarray(row))
+
+    def test_q8_kernel_equals_q8_xla(self, rng):
+        from unified_audio_tpu.serve.paged import paged_decode_ids
+
+        cfg, lm_params, pool, tables, bs = self._setup(rng, quant="int8")
+        index = jnp.asarray([10, 10], jnp.int32)
+        active = jnp.asarray([True, True])
+        ids = jnp.asarray([3, 4], jnp.int32)
+        ref, pool_r = paged_decode_ids(cfg, lm_params, pool, tables, index,
+                                       active, ids, bs,
+                                       num_active_blocks=8)
+        got, pool_k = paged_decode_ids(cfg, lm_params, pool, tables, index,
+                                       active, ids, bs,
+                                       num_active_blocks=8, use_kernel=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=3e-5)
+        np.testing.assert_allclose(
+            np.asarray(pool_r["k"], np.float32),
+            np.asarray(pool_k["k"], np.float32), atol=1)
+        np.testing.assert_allclose(np.asarray(pool_r["k_scale"]),
+                                   np.asarray(pool_k["k_scale"]), atol=3e-5)
+
+    def test_q8_multi_step_trajectory(self, rng):
+        from unified_audio_tpu.serve.paged import paged_decode_ids
+
+        cfg, lm_params, pool, tables, bs = self._setup(rng, quant="int8")
+        ref_toks = None
+        for use_kernel in (False, True):
+            p = dict(pool)
+            idx = jnp.asarray([10, 10], jnp.int32)
+            ids = jnp.asarray([3, 4], jnp.int32)
+            active = jnp.asarray([True, True])
+            toks = []
+            for _ in range(5):
+                logits, p = paged_decode_ids(
+                    cfg, lm_params, p, tables, idx, active, ids, bs,
+                    num_active_blocks=8, use_kernel=use_kernel)
+                ids = jnp.argmax(logits, -1).astype(jnp.int32)
+                idx = idx + 1
+                toks.append(np.asarray(ids))
+            if use_kernel:
+                np.testing.assert_array_equal(np.stack(toks), ref_toks)
+            else:
+                ref_toks = np.stack(toks)
+
+    def test_q8_close_to_fp_pool(self, rng):
+        """int8 KV rounding stays a small perturbation of the fp path."""
+        from unified_audio_tpu.serve.paged import paged_decode_ids
+
+        cfg, lm_params, pool8, tables, bs = self._setup(
+            np.random.default_rng(7), quant="int8")
+        _, lm_params2, pool32, _, _ = self._setup(
+            np.random.default_rng(7), quant=None)
+        index = jnp.asarray([10, 10], jnp.int32)
+        active = jnp.asarray([True, True])
+        ids = jnp.asarray([3, 4], jnp.int32)
+        l8, _ = paged_decode_ids(cfg, lm_params, pool8, tables, index,
+                                 active, ids, bs, num_active_blocks=8)
+        l32, _ = paged_decode_ids(cfg, lm_params2, pool32, tables, index,
+                                  active, ids, bs, num_active_blocks=8)
+        a, b = np.asarray(l8), np.asarray(l32)
+        denom = np.abs(b).max() + 1e-9
+        assert np.abs(a - b).max() / denom < 0.05, np.abs(a - b).max() / denom

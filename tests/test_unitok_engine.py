@@ -266,3 +266,24 @@ class TestSharedPool:
         np.testing.assert_array_equal(res_u[100].global_ids, solo_ug)
         np.testing.assert_array_equal(res_u[100].semantic_ids, solo_us)
         np.testing.assert_array_equal(res_t[200].codes, solo_t)
+
+
+class TestUniTokInt8Pool:
+    def test_int8_kernel_equals_xla(self, lm_setup, rng):
+        """UniTok serving from an int8 KV pool: the q8 stream kernel and the
+        XLA dequant path produce code-identical results."""
+        cfg, lm, params = lm_setup
+        feats = rng.standard_normal((5, cfg.audio_dim)).astype(np.float32)
+
+        def run(use_kernel):
+            eng = _engine(cfg, lm, params, kv_quant="int8",
+                          use_flash_kernel=use_kernel)
+            assert eng.kv_quant == "int8" and "k_scale" in eng.pool
+            reqs = [UniTokRequest(task_id=i % 7, num_frames=5 + i,
+                                  input_feats=feats, do_sample=False, uid=i)
+                    for i in range(3)]
+            return eng.run(reqs, jax.random.PRNGKey(2))
+
+        a, b = run(False), run(True)
+        for u in a:
+            np.testing.assert_array_equal(a[u].codes, b[u].codes)

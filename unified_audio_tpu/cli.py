@@ -483,6 +483,8 @@ def cmd_codec(args):
                            if args.model == "hcodec20"
                            else (hcodec10_config, convert_hcodec10))
         cfg = cfg_fn()
+        dtype = jnp.bfloat16 if getattr(args, "dtype",
+                                        "float32") == "bfloat16" else None
         if args.ckpt:
             import torch
 
@@ -494,7 +496,7 @@ def cmd_codec(args):
             rnd = HCodecTokenizer.from_random(jax.random.PRNGKey(0), cfg)
             tok = HCodecTokenizer(cfg, codec_vars,
                                   ssl_mod.hubert_base_config(),
-                                  rnd.ssl_variables)
+                                  rnd.ssl_variables, dtype=dtype)
             print(f"converted HCodec weights from {args.ckpt} (SSL frontend "
                   "remains HF-random unless converted separately)",
                   file=sys.stderr)
@@ -502,6 +504,10 @@ def cmd_codec(args):
             print("WARNING: random weights — reconstruction is not "
                   "meaningful", file=sys.stderr)
             tok = HCodecTokenizer.from_random(jax.random.PRNGKey(0), cfg)
+            if dtype is not None:
+                tok = HCodecTokenizer(cfg, tok.codec_variables,
+                                      tok.ssl.config, tok.ssl_variables,
+                                      dtype=dtype)
         x = jnp.asarray(wav)
         ac, sem = tok.tokenize(x)
         rec = np.asarray(tok.detokenize(ac, sem))[0]
@@ -517,9 +523,14 @@ def cmd_serve(args):
     """Continuous-batching batch server: a JSONL request file streams
     through the paged-KV engine (mixed SE/TSE/rTSE in one pool).
 
-    Each line: {"uid": int, "task": "se"|"tse"|"rtse", "mix": "path.wav",
-    "enroll": "path.wav"(tse/rtse), "output": "out.wav",
-    "temperature"/"top_k"/"top_p"/"do_sample" optional}."""
+    Each line: {"uid": int, "task": "se"|"tse"|"rtse"|"ss", "mix":
+    "path.wav", "enroll": "path.wav"(tse/rtse), "output": "out.wav",
+    "temperature"/"top_k"/"top_p"/"do_sample" optional}.
+
+    "ss" requests run the separation CASCADE through the same pool
+    (serve/cascade.py): the SE phase rides the first admission waves with
+    the regular traffic, the enhanced enrollment is staged on device, and
+    the TSE/rTSE phases write <output>_s1.wav / <output>_s2.wav."""
     import jax
     import jax.numpy as jnp
 
@@ -534,7 +545,7 @@ def cmd_serve(args):
     for l in lines:
         if not Path(l["mix"]).exists():
             sys.exit(f"error: mix wav not found: {l['mix']}")
-        if l.get("task", "se") != "se" and not l.get("enroll"):
+        if l.get("task", "se") in ("tse", "rtse") and not l.get("enroll"):
             sys.exit(f"error: task {l.get('task')} requires 'enroll'")
 
     from .models.lm.llama import LlamaConfig  # noqa: F401 (doc anchor)
@@ -555,10 +566,14 @@ def cmd_serve(args):
     # different features for bucket-padded audio (hybrid requests,
     # serve/engine.py _signature).
     reqs, meta = [], {}
+    ss_lines = []
     uid = 0
     for l in lines:
         wav, fs = read_wav(l["mix"])
         wav = _prepare_wav(wav, fs)
+        if l.get("task", "se") == "ss":
+            ss_lines.append((l, wav))
+            continue
         segs, orig_len = unise._segment(wav)
         peak = np.abs(wav).max() or 1.0
         segs = np.asarray(segs) / peak
@@ -596,7 +611,28 @@ def cmd_serve(args):
         feature_params=unise.wavlm_variables,
         wav_buckets=(seg,),
     )
-    results = eng.run(reqs, jax.random.PRNGKey(args.seed))
+    if ss_lines:
+        from .serve.cascade import SSCascadeRunner
+
+        runner = SSCascadeRunner(eng, unise)
+        ss_reqs, ss_meta = [], {}
+        for j, (l, wav) in enumerate(ss_lines):
+            r = runner.make(
+                wav, uid=10_000_000 + j,
+                temperature=l.get("temperature", 0.8),
+                top_k=l.get("top_k", 50), top_p=l.get("top_p", 0.95),
+                do_sample=l.get("do_sample", True))
+            ss_reqs.append(r)
+            ss_meta[l["output"]] = r
+        cres, results = runner.run(ss_reqs, jax.random.PRNGKey(args.seed),
+                                   extra=reqs)
+        for out_path, r in ss_meta.items():
+            s1, s2 = runner.assemble(r, cres[r.uid])
+            out = Path(out_path)
+            write_wav(out.with_name(out.stem + "_s1.wav"), s1, TARGET_SR)
+            write_wav(out.with_name(out.stem + "_s2.wav"), s2, TARGET_SR)
+    else:
+        results = eng.run(reqs, jax.random.PRNGKey(args.seed))
 
     for out_path, (seg_uids, orig_len) in meta.items():
         g = np.stack([results[u].global_ids for u in seg_uids])
@@ -708,6 +744,11 @@ def main(argv=None):
                          "reference checkout's copy when present")
     t5.add_argument("--ckpt", default=None,
                     help="torch weights.pt (convert_hcodec10/20 by --model)")
+    t5.add_argument("--dtype", choices=["float32", "bfloat16"],
+                    default="float32",
+                    help="bfloat16 = serving mode for hcodec10/hcodec20: "
+                    "bf16 weights+activations with fp32 VQ/ISTFT islands "
+                    "(models/hcodec/tokenizer.py)")
     t5.add_argument("--sensevoice-ckpt", default=None,
                     help="funasr SenseVoiceSmall state dict: run the FULL "
                          "ported SAN-M teacher for the flexicodec semantic "

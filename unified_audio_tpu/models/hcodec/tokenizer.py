@@ -33,9 +33,27 @@ class HCodecTokenizer:
         codec_variables,
         ssl_config: ssl_mod.SSLConfig,
         ssl_variables,
+        dtype=None,
     ):
+        """``dtype=jnp.bfloat16`` turns on the bf16 SERVING mode: weights
+        and activations flow bf16 through the SSL frontend, SEANet/semantic
+        encoders and the ConvNeXt decoder, with fp32 islands where accuracy
+        demands it — the VQ distance matmuls (ops/quant.py: fp32 HIGHEST
+        regardless of input dtype; near-tie argmins flip at lower
+        precision) and the ISTFT head's exp/phase/complex math
+        (nn/heads.py). bf16 halves the HBM traffic the conv stacks are
+        bound by. Token IDs may differ from the fp32 path near codebook
+        ties (the features ENTERING the distance islands carry bf16
+        rounding); fidelity parity work uses the fp32 default, serving
+        throughput uses bf16 (tests/test_hcodec.py pins closeness)."""
         self.config = codec_config
         self.codec = HCodec(codec_config)
+        self.dtype = dtype
+        if dtype is not None:
+            from ...utils.precision import cast_floating
+
+            codec_variables = cast_floating(codec_variables, dtype)
+            ssl_variables = cast_floating(ssl_variables, dtype)
         self.codec_variables = codec_variables
         self.ssl = ssl_mod.Wav2Vec2Model(ssl_config)
         self.ssl_variables = ssl_variables
@@ -44,24 +62,30 @@ class HCodecTokenizer:
         # variables are jit ARGUMENTS (not closures): closed-over weights get
         # serialized into the HLO, which breaks remote-compile backends and
         # bloats compile time
+        in_dtype = dtype if dtype is not None else jnp.float32
+
         @jax.jit
         def _features(ssl_variables, wav16k):
             # |x|^0.3-compressed all-layer HuBERT mean (audio_tokenizer.py:35-48)
-            padded = jnp.pad(wav16k, [(0, 0), (160, 160)])
+            padded = jnp.pad(wav16k.astype(in_dtype), [(0, 0), (160, 160)])
             hs = self.ssl.apply(ssl_variables, padded)
             return ssl_mod.hubert_features(hs)
 
         @jax.jit
         def _encode(codec_variables, wav, feats):
             return self.codec.apply(
-                codec_variables, wav[..., None], feats, method="encode"
+                codec_variables, wav.astype(in_dtype)[..., None],
+                feats.astype(in_dtype), method="encode"
             )
 
         @jax.jit
         def _decode(codec_variables, acoustic, semantic):
-            return self.codec.apply(
+            wav = self.codec.apply(
                 codec_variables, acoustic, semantic, method="decode"
             )
+            # waveform contract stays fp32 in either mode (the ISTFT island
+            # already computes it in fp32)
+            return wav.astype(jnp.float32)
 
         self._features = lambda wav: _features(self.ssl_variables, wav)
         self._encode = lambda wav, feats: _encode(self.codec_variables, wav, feats)

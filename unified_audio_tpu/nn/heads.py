@@ -18,6 +18,10 @@ class ISTFTHead(nn.Module):
     def __call__(self, x):
         n = self.n_fft // 2 + 1
         out = nn.Dense(self.n_fft + 2, name="out")(x)  # (B, T, 2N)
+        # fp32 island: under bf16 inference the exp/cos/sin and the complex
+        # ISTFT run in fp32 regardless (bf16 phase wraps poorly; the FFT is
+        # complex64 anyway) — a no-op on the fp32 path
+        out = out.astype(jnp.float32)
         mag = jnp.exp(out[..., :n])
         mag = jnp.clip(mag, max=1e2)
         phase = out[..., n:]

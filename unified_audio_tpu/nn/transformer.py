@@ -44,12 +44,17 @@ def rotate_half(x):
 
 
 def apply_rope(q, k, cos, sin):
-    """q, k: (B, T, H, D); cos/sin: (T, D) or (B, T, D)."""
+    """q, k: (B, T, H, D); cos/sin: (T, D) or (B, T, D).
+
+    The rotation runs in the cos/sin dtype (fp32 tables) but the outputs
+    keep q/k's dtype: under bf16 inference the fp32 tables must not
+    promote everything downstream of the attention to fp32 (a silent 2x
+    HBM-traffic leak through every transformer block) — a no-op on fp32."""
     if cos.ndim == 2:
         cos, sin = cos[None], sin[None]
     cos, sin = cos[:, :, None, :], sin[:, :, None, :]
-    q = q * cos + rotate_half(q) * sin
-    k = k * cos + rotate_half(k) * sin
+    q = (q * cos + rotate_half(q) * sin).astype(q.dtype)
+    k = (k * cos + rotate_half(k) * sin).astype(k.dtype)
     return q, k
 
 

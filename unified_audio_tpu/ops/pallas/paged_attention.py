@@ -221,6 +221,124 @@ def _stream_kernel_flat(li_ref, q_ref, vis_ref, kpool_ref, vpool_ref,
             out_ref.dtype)
 
 
+def _stream_kernel_flat_q8(li_ref, q_ref, vis_ref, kpool_ref, vpool_ref,
+                           ksc_ref, vsc_ref, out_ref, acc_ref, m_ref, l_ref,
+                           *, num_heads: int):
+    """int8-pool variant of _stream_kernel_flat: each chunk DMA moves HALF
+    the bytes of bf16 (the decode floor is the pool stream), and the
+    per-token fp32 scales dequantize in VMEM. Math after dequant is
+    identical to the bf16 kernel's fp32 flash loop — serve/paged.py's XLA
+    path dequantizes with the same expression, so the two stay pinnable."""
+    i = pl.program_id(0)
+    num_i = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    # per-token scales stay OUT of the (CK, DH) tensors: dequantizing K/V
+    # elementwise (a (C, BS, DH) fp32 multiply per chunk) measured SLOWER
+    # than the bf16 kernel despite half the DMA bytes — the scales fold
+    # into row-wise (S, CK) multiplies instead: logits scale by the key's
+    # k-scale after the dot, probabilities scale by the key's v-scale
+    # before the pv dot (softmax(x) @ (v*s) == (softmax(x)*s) @ v row-wise)
+    ksc = ksc_ref[0].reshape(-1)            # (CK,) fp32
+    vsc = vsc_ref[0].reshape(-1)
+    k = kpool_ref[0].astype(jnp.float32)    # (C, BS, DH) — convert only
+    v = vpool_ref[0].astype(jnp.float32)
+    c, bs, dh = k.shape
+    ck = c * bs
+    h = num_heads
+    hd = dh // h
+    k = k.reshape(ck, dh)
+    v = v.reshape(ck, dh)
+    q = q_ref[:].astype(jnp.float32)        # (S, H, hd)
+
+    vis = vis_ref[:] != 0                   # (S, CK)
+
+    scale = hd ** -0.5
+    m_old = m_ref[:]
+    l_old = l_ref[:]
+    for hh in range(h):
+        sl = slice(hh * hd, (hh + 1) * hd)
+        logits = jax.lax.dot_general(
+            q[:, hh, :], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * (ksc * scale)[None]                            # (S, CK)
+        logits = jnp.where(vis, logits, NEG_INF)
+        m_new = jnp.maximum(m_old[:, hh], jnp.max(logits, axis=-1))
+        alpha = jnp.exp(m_old[:, hh] - m_new)
+        p = jnp.exp(logits - m_new[:, None])
+        l_new = l_old[:, hh] * alpha + jnp.sum(p, axis=-1)
+        pv = jax.lax.dot_general(
+            p * vsc[None], v[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                  # (S, hd)
+        acc_ref[:, hh, :] = acc_ref[:, hh, :] * alpha[:, None] + pv
+        m_ref[:, hh] = m_new
+        l_ref[:, hh] = l_new
+
+    @pl.when(i == num_i - 1)
+    def _finish():
+        out_ref[:] = (acc_ref[:]
+                      / jnp.maximum(l_ref[:], 1e-30)[:, :, None]).astype(
+            out_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_heads", "chunk_blocks",
+                                    "num_active_blocks", "interpret"))
+def paged_flash_decode_stream_flat_q8(q, kpool, vpool, k_scale, v_scale,
+                                      vis, li, num_heads: int,
+                                      chunk_blocks: int = 8,
+                                      num_active_blocks: int | None = None,
+                                      interpret: bool = False):
+    """int8-pool stream flash decode: kpool/vpool (L, NB, BS, H*hd) int8,
+    k_scale/v_scale (L, NB, BS) fp32 per-token symmetric scales
+    (serve/paged.py quantize_kv). Same contract as
+    paged_flash_decode_stream_flat otherwise."""
+    s_slots, h, hd = q.shape
+    _, nb_total, bs, dh = kpool.shape
+    nb = nb_total if num_active_blocks is None else num_active_blocks
+    if nb > nb_total:
+        raise ValueError(
+            f"num_active_blocks {nb} exceeds pool capacity {nb_total}")
+    if vis.shape != (s_slots, nb * bs):
+        raise ValueError(
+            f"visibility shape {vis.shape} != (slots, bound*block_size) "
+            f"({s_slots}, {nb * bs})")
+    c = min(chunk_blocks, nb)
+    if nb % c:
+        raise ValueError(f"bound {nb} not divisible by chunk {c}")
+    kernel = pl.pallas_call(
+        functools.partial(_stream_kernel_flat_q8, num_heads=num_heads),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb // c,),
+            in_specs=[
+                pl.BlockSpec((s_slots, h, hd), lambda i, l: (0, 0, 0)),
+                pl.BlockSpec((s_slots, c * bs), lambda i, l: (0, i)),
+                pl.BlockSpec((1, c, bs, dh), lambda i, l: (l[0], i, 0, 0)),
+                pl.BlockSpec((1, c, bs, dh), lambda i, l: (l[0], i, 0, 0)),
+                pl.BlockSpec((1, c, bs), lambda i, l: (l[0], i, 0)),
+                pl.BlockSpec((1, c, bs), lambda i, l: (l[0], i, 0)),
+            ],
+            out_specs=pl.BlockSpec((s_slots, h, hd), lambda i, l: (0, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((s_slots, h, hd), jnp.float32),
+                pltpu.VMEM((s_slots, num_heads), jnp.float32),
+                pltpu.VMEM((s_slots, num_heads), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((s_slots, h, hd), q.dtype),
+        interpret=interpret,
+    )
+    return kernel(jnp.asarray(li, jnp.int32).reshape(1), q, vis,
+                  kpool, vpool, k_scale, v_scale)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("num_heads", "chunk_blocks",
                                     "num_active_blocks", "interpret"))

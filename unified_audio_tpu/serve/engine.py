@@ -217,6 +217,7 @@ class ContinuousBatchingEngine:
         feats_wire: str = "bf16",
         fuse_frontend: bool = False,
         eager_drain: bool = False,
+        kv_quant: Optional[str] = None,
     ):
         """``feature_fn(feature_params, wav (B, N)) -> (B, F, D)`` enables
         waveform admission (Request.mix_wav): the SSL frontend runs batched
@@ -248,6 +249,14 @@ class ContinuousBatchingEngine:
         bytes are on the serving critical path, so halving them buys
         throughput directly. Features exactly representable as
         int8 x 2^e round-trip bit-identically.
+
+        ``kv_quant="int8"`` stores the KV pool as symmetric int8 with one
+        fp32 scale per (layer, token, k|v) (serve/paged.py quantize_kv).
+        The decode step streams the whole allocated pool prefix every
+        token, so halving pool bytes halves the HBM-bound decode floor;
+        quality cost is per-token KV rounding (~0.4% relative). Engines
+        sharing a pool must agree (inferred from the pool for pool_ref
+        engines).
 
         ``eager_drain`` picks when stashed outputs (from displacing
         inserts) are fetched. False (default): all stashes accumulate on
@@ -377,11 +386,19 @@ class ContinuousBatchingEngine:
             self._pool_ref = pool_ref
             self.allocator = allocator
             self.num_blocks = num_blocks = pool_ref.pool["k"].shape[1]
+            # every engine on one pool must agree on its storage format
+            self.kv_quant = ("int8" if "k_scale" in pool_ref.pool else None)
+            if kv_quant is not None and kv_quant != self.kv_quant:
+                raise ValueError(
+                    f"kv_quant={kv_quant!r} conflicts with the shared "
+                    f"pool's storage ({self.kv_quant!r})")
         else:
             from .paged import PoolRef
 
+            self.kv_quant = kv_quant
             self._pool_ref = PoolRef(
-                init_pool(cfg, num_blocks, block_size, dtype=self.kv_dtype))
+                init_pool(cfg, num_blocks, block_size, dtype=self.kv_dtype,
+                          quant=kv_quant))
             self.allocator = allocator or BlockAllocator(num_blocks)
         self._slot_blocks: List[List[int]] = [[] for _ in range(num_slots)]
         self._uids: List[Optional[int]] = [None] * num_slots
@@ -1251,24 +1268,28 @@ class ContinuousBatchingEngine:
                 self._remaining[i] = max(0, self._remaining[i] - n)
 
     def harvest(self) -> List[Result]:
-        phase = self._phase_host()
+        # completion is host-known (fixed decode lengths, no EOS): a slot
+        # with remaining == 0 IS done, so no device phase fetch is needed.
+        # The earlier formulation fetched phase (~25 ms RTT) and dispatched
+        # four eager gathers before the fetch — ~0.34 s of the 16-slot run
+        # wall (probe_engine_levers budget); this is ONE wholesale fetch
+        # (the four state arrays total ~20 KB at serving size) sliced on
+        # the host.
         done = [i for i in range(self.num_slots)
-                if phase[i] == PHASE_DONE and self._uids[i] is not None]
+                if self._uids[i] is not None and self._remaining[i] == 0]
         if not done:
             return []
-        # one combined fetch for everything the finished slots need
-        rows = np.asarray(done)
         data = jax.device_get({
-            "g": self.state["out_global"][rows],
-            "s": self.state["out_semantic"][rows],
-            "glen": self.state["global_len"][rows],
-            "slen": self.state["semantic_len"][rows],
+            "g": self.state["out_global"],
+            "s": self.state["out_semantic"],
+            "glen": self.state["global_len"],
+            "slen": self.state["semantic_len"],
         })
         out = []
-        for j, i in enumerate(done):
-            glen, slen = int(data["glen"][j]), int(data["slen"][j])
-            out.append(Result(self._uids[i], data["g"][j, :glen],
-                              data["s"][j, :slen]))
+        for i in done:
+            glen, slen = int(data["glen"][i]), int(data["slen"][i])
+            out.append(Result(self._uids[i], data["g"][i, :glen],
+                              data["s"][i, :slen]))
             self._uids[i] = None
             self.allocator.release(self._slot_blocks[i])
             self._slot_blocks[i] = []

@@ -34,21 +34,48 @@ import jax.numpy as jnp
 from ..models.lm.llama import NEG_INF, LlamaConfig
 from ..nn.transformer import apply_rope, rope_cos_sin
 from ..ops.pallas.paged_attention import (paged_flash_decode_stream_flat,
+                                          paged_flash_decode_stream_flat_q8,
                                           visibility_mask)
 
 TRASH_BLOCK = 0  # physical block 0 is never allocated; inactive slots write here
 
 
 def init_pool(cfg: LlamaConfig, num_blocks: int, block_size: int,
-              dtype=jnp.float32) -> Dict:
+              dtype=jnp.float32, quant: Optional[str] = None) -> Dict:
     """KV block pool, stored FLAT: (L, NB, BS, H*hd). The flat trailing
     dims (block_size=64, 512) map to dense bf16 TPU tiles; the 5-D
     (..., H=8, hd=64) layout forced padded (16, 128) tiles, and the Pallas
     stream kernel measured 3.8x less HBM bandwidth on its chunk DMAs
-    (ops/pallas/paged_attention.py round-3 notes)."""
+    (ops/pallas/paged_attention.py round-3 notes).
+
+    ``quant="int8"``: K/V store as symmetric int8 with one fp32 scale per
+    (layer, token, k|v) — the decode step streams the WHOLE allocated pool
+    prefix every token, so halving pool bytes (vs bf16) halves the
+    HBM-bound decode floor. Quantization happens at WRITE time
+    (scatter_prefill / the per-step scatter); both attention paths dequant
+    with the same fp32 math, so kernel == XLA stays exactly pinnable."""
     shape = (cfg.num_layers, num_blocks, block_size,
              cfg.num_heads * cfg.head_dim)
-    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    if quant is None:
+        return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    if quant != "int8":
+        raise ValueError(f"unknown pool quant {quant!r} (int8 or None)")
+    sshape = shape[:3]
+    return {"k": jnp.zeros(shape, jnp.int8),
+            "v": jnp.zeros(shape, jnp.int8),
+            "k_scale": jnp.zeros(sshape, jnp.float32),
+            "v_scale": jnp.zeros(sshape, jnp.float32)}
+
+
+def quantize_kv(x):
+    """Symmetric per-row int8: x (..., DH) float -> (int8 (..., DH),
+    fp32 scale (...,)). Values exactly representable as n * amax/127
+    round-trip bit-identically in fp32."""
+    xf = x.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(xf), axis=-1) / 127.0
+    q = jnp.clip(jnp.round(xf / jnp.maximum(scale, 1e-20)[..., None]),
+                 -127, 127).astype(jnp.int8)
+    return q, scale
 
 
 class BlockAllocator:
@@ -124,7 +151,10 @@ def paged_decode_ids(cfg: LlamaConfig, lm_params, pool, tables, index, active,
     paged_decode_embeds.
     """
     emb_table = lm_params["codec_embedding"]["embedding"]
-    x = emb_table[ids][:, None].astype(pool["k"].dtype)  # (S, 1, D)
+    # compute dtype: the pool dtype when it IS a compute dtype; int8 pools
+    # store quantized values, so activations follow the params instead
+    x_dtype = (emb_table.dtype if "k_scale" in pool else pool["k"].dtype)
+    x = emb_table[ids][:, None].astype(x_dtype)  # (S, 1, D)
     hidden, pool = paged_decode_embeds(
         cfg, lm_params["backbone"], pool, tables, index, active, x,
         block_size, num_active_blocks=num_active_blocks,
@@ -215,12 +245,15 @@ def paged_decode_embeds(cfg: LlamaConfig, backbone_params, pool, tables,
                     jnp.arange(s_slots, dtype=index.dtype) % bs)
     unique_scatter = s_slots <= bs
 
+    quant = "k_scale" in pool
+
     def layer_body(carry, lp):
         # the FULL pool rides the carry and each layer scatters only into
         # its own (li, blk, off) rows: a scanned-xs/ys pool forces XLA to
         # materialize a fresh stacked buffer every step (measured
         # 3.3 ms/step at serving size vs 1.5 ms/step carried)
-        x, k_pool, v_pool, li = carry
+        x, p, li = carry
+        k_pool, v_pool = p["k"], p["v"]
         hin = _rms(x, lp["input_layernorm"]["weight"])
         qkv = hin @ lp["self_attn"]["qkv_proj"]["kernel"]
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -229,44 +262,82 @@ def paged_decode_embeds(cfg: LlamaConfig, backbone_params, pool, tables,
         v = v.reshape(s_slots, 1, h, hd)
         q, k = apply_rope(q, k, cos, sin)
 
+        k_rows = k[:, 0].reshape(s_slots, h * hd)
+        v_rows = v[:, 0].reshape(s_slots, h * hd)
+        if quant:
+            k_rows, k_sc = quantize_kv(k_rows)
+            v_rows, v_sc = quantize_kv(v_rows)
+            p = dict(p)
+            p["k_scale"] = p["k_scale"].at[li, blk, off].set(
+                k_sc, unique_indices=unique_scatter)
+            p["v_scale"] = p["v_scale"].at[li, blk, off].set(
+                v_sc, unique_indices=unique_scatter)
         k_pool = k_pool.at[li, blk, off].set(
-            k[:, 0].reshape(s_slots, h * hd).astype(k_pool.dtype),
-            unique_indices=unique_scatter)
+            k_rows.astype(k_pool.dtype), unique_indices=unique_scatter)
         v_pool = v_pool.at[li, blk, off].set(
-            v[:, 0].reshape(s_slots, h * hd).astype(v_pool.dtype),
-            unique_indices=unique_scatter)
+            v_rows.astype(v_pool.dtype), unique_indices=unique_scatter)
+        p = {**p, "k": k_pool, "v": v_pool}
         if use_kernel:
-            attn = paged_flash_decode_stream_flat(
-                q[:, 0], k_pool, v_pool, vis_i8, li,
-                num_heads=h, chunk_blocks=chunk, num_active_blocks=nb,
-                interpret=interp)  # (S, H, hd), q.dtype (rope promotes to
-            # fp32); cast back so the residual carry dtype is stable
+            if quant:
+                attn = paged_flash_decode_stream_flat_q8(
+                    q[:, 0], k_pool, v_pool, p["k_scale"], p["v_scale"],
+                    vis_i8, li, num_heads=h, chunk_blocks=chunk,
+                    num_active_blocks=nb, interpret=interp)
+            else:
+                attn = paged_flash_decode_stream_flat(
+                    q[:, 0], k_pool, v_pool, vis_i8, li,
+                    num_heads=h, chunk_blocks=chunk, num_active_blocks=nb,
+                    interpret=interp)  # (S, H, hd)
+            # cast back so the residual carry dtype is stable
             attn = attn.reshape(s_slots, 1, h * hd).astype(x.dtype)
         else:
             k_buf = jax.lax.dynamic_index_in_dim(
-                k_pool, li, 0, keepdims=False)[:nb].reshape(nb * bs, h, hd)
+                k_pool, li, 0, keepdims=False)[:nb]
             v_buf = jax.lax.dynamic_index_in_dim(
-                v_pool, li, 0, keepdims=False)[:nb].reshape(nb * bs, h, hd)
+                v_pool, li, 0, keepdims=False)[:nb]
+            if quant:
+                # ROW-WISE dequant, same formulation as the q8 kernel: the
+                # per-token scales fold into (.., keys) multiplies on the
+                # logits / probabilities instead of (keys, DH) tensor
+                # multiplies (measured slower than bf16 despite half the
+                # DMA) — and the equality pin between the two paths must
+                # share the rounding order
+                ksc = jax.lax.dynamic_index_in_dim(
+                    p["k_scale"], li, 0, keepdims=False)[:nb].reshape(-1)
+                vsc = jax.lax.dynamic_index_in_dim(
+                    p["v_scale"], li, 0, keepdims=False)[:nb].reshape(-1)
+                k_buf = k_buf.astype(jnp.float32)
+                v_buf = v_buf.astype(jnp.float32)
+            k_buf = k_buf.reshape(nb * bs, h, hd)
+            v_buf = v_buf.reshape(nb * bs, h, hd)
 
             logits = jnp.einsum("bqhd,khd->bhqk", q,
                                 k_buf).astype(jnp.float32)
-            logits = logits * hd**-0.5 + mask
+            if quant:
+                logits = logits * (ksc * hd**-0.5)[None, None, None] + mask
+            else:
+                logits = logits * hd**-0.5 + mask
             probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-            attn = jnp.einsum("bhqk,khd->bqhd", probs, v_buf)
-            attn = attn.reshape(s_slots, 1, h * hd)
+            if quant:
+                probs = probs * vsc[None, None, None].astype(probs.dtype)
+            attn = jnp.einsum("bhqk,khd->bqhd", probs,
+                              v_buf.astype(probs.dtype))
+            # residual carry dtype must be scan-invariant (the quant path's
+            # fp32 dequant would otherwise promote x to fp32)
+            attn = attn.reshape(s_slots, 1, h * hd).astype(x.dtype)
         x = x + attn @ lp["self_attn"]["o_proj"]["kernel"]
 
         hmlp = _rms(x, lp["post_attention_layernorm"]["weight"])
         gate_up = hmlp @ lp["mlp"]["gate_up_proj"]["kernel"]
         gate, up = jnp.split(gate_up, 2, axis=-1)
         x = x + (jax.nn.silu(gate) * up) @ lp["mlp"]["down_proj"]["kernel"]
-        return (x, k_pool, v_pool, li + 1), None
+        return (x, p, li + 1), None
 
-    (x, new_k, new_v, _), _ = jax.lax.scan(
-        layer_body, (x, pool["k"], pool["v"], jnp.int32(0)), layers
+    (x, new_pool, _), _ = jax.lax.scan(
+        layer_body, (x, dict(pool), jnp.int32(0)), layers
     )
     x = _rms(x, backbone_params["norm"]["weight"])
-    return x[:, 0], {"k": new_k, "v": new_v}
+    return x[:, 0], new_pool
 
 
 def scatter_prefill(pool, tables, cache_k, cache_v, block_size: int):
@@ -284,9 +355,15 @@ def scatter_prefill(pool, tables, cache_k, cache_v, block_size: int):
     pos = jnp.arange(lp_len)
     blk = tables[:, pos // bs]  # (B, Lp)
     off = jnp.broadcast_to(pos % bs, blk.shape)  # (B, Lp)
+    if "k_scale" in pool:
+        cache_k, k_sc = quantize_kv(cache_k)
+        cache_v, v_sc = quantize_kv(cache_v)
+        pool = {**pool,
+                "k_scale": pool["k_scale"].at[:, blk, off].set(k_sc),
+                "v_scale": pool["v_scale"].at[:, blk, off].set(v_sc)}
     new_k = pool["k"].at[:, blk, off].set(cache_k.astype(pool["k"].dtype))
     new_v = pool["v"].at[:, blk, off].set(cache_v.astype(pool["v"].dtype))
-    return {"k": new_k, "v": new_v}
+    return {**pool, "k": new_k, "v": new_v}
 
 
 class PoolRef:

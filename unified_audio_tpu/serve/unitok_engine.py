@@ -93,6 +93,7 @@ class UniTokEngine:
         dtype=None,
         use_flash_kernel: Optional[bool] = None,
         eager_drain: bool = False,
+        kv_quant: Optional[str] = None,
     ):
         self.lm = lm
         cfg = lm.cfg
@@ -130,6 +131,12 @@ class UniTokEngine:
             self._pool_ref = pool_ref
             self.allocator = allocator
             self.num_blocks = pool_ref.pool["k"].shape[1]
+            # engines sharing one pool must agree on its storage format
+            self.kv_quant = ("int8" if "k_scale" in pool_ref.pool else None)
+            if kv_quant is not None and kv_quant != self.kv_quant:
+                raise ValueError(
+                    f"kv_quant={kv_quant!r} conflicts with the shared "
+                    f"pool's storage ({self.kv_quant!r})")
         else:
             if num_blocks is None:
                 # 64-block bucket granularity (see ContinuousBatchingEngine)
@@ -137,8 +144,10 @@ class UniTokEngine:
             self.num_blocks = num_blocks
             from .paged import PoolRef
 
+            self.kv_quant = kv_quant
             self._pool_ref = PoolRef(init_pool(
-                self.lcfg, num_blocks, block_size, dtype=self.kv_dtype))
+                self.lcfg, num_blocks, block_size, dtype=self.kv_dtype,
+                quant=kv_quant))
             self.allocator = allocator or BlockAllocator(num_blocks)
 
         s = num_slots
@@ -257,7 +266,8 @@ class UniTokEngine:
             x = jnp.sum(
                 jax.vmap(lambda e, i: e[i], in_axes=(0, 1))(emb, ids),
                 axis=0,
-            )[:, None].astype(pool["k"].dtype)  # (S, 1, D)
+            )[:, None].astype(kv_dtype)  # (S, 1, D) — compute dtype: an
+            # int8 pool stores QUANTIZED values, not the compute dtype
             hidden, pool = paged_decode_embeds(
                 self.lcfg, backbone_params, pool, state["block_tables"],
                 state["index"], active, x, bs, num_active_blocks=nb,
