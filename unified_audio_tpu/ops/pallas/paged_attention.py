@@ -243,9 +243,11 @@ def _stream_kernel_flat_q8(li_ref, q_ref, vis_ref, kpool_ref, vpool_ref,
     # than the bf16 kernel despite half the DMA bytes — the scales fold
     # into row-wise (S, CK) multiplies instead: logits scale by the key's
     # k-scale after the dot, probabilities scale by the key's v-scale
-    # before the pv dot (softmax(x) @ (v*s) == (softmax(x)*s) @ v row-wise)
-    ksc = ksc_ref[0].reshape(-1)            # (CK,) fp32
-    vsc = vsc_ref[0].reshape(-1)
+    # before the pv dot (softmax(x) @ (v*s) == (softmax(x)*s) @ v row-wise).
+    # Scales arrive PRE-FLATTENED as (1, CK) tiles: Mosaic rejects the
+    # in-kernel (C, BS) -> (CK,) shape cast (padded-lane relayout).
+    ksc = ksc_ref[:]                        # (1, CK) fp32
+    vsc = vsc_ref[:]
     k = kpool_ref[0].astype(jnp.float32)    # (C, BS, DH) — convert only
     v = vpool_ref[0].astype(jnp.float32)
     c, bs, dh = k.shape
@@ -266,14 +268,14 @@ def _stream_kernel_flat_q8(li_ref, q_ref, vis_ref, kpool_ref, vpool_ref,
         logits = jax.lax.dot_general(
             q[:, hh, :], k[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * (ksc * scale)[None]                            # (S, CK)
+        ) * (ksc * scale)                                  # (S, CK)
         logits = jnp.where(vis, logits, NEG_INF)
         m_new = jnp.maximum(m_old[:, hh], jnp.max(logits, axis=-1))
         alpha = jnp.exp(m_old[:, hh] - m_new)
         p = jnp.exp(logits - m_new[:, None])
         l_new = l_old[:, hh] * alpha + jnp.sum(p, axis=-1)
         pv = jax.lax.dot_general(
-            p * vsc[None], v[:, sl], (((1,), (0,)), ((), ())),
+            p * vsc, v[:, sl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                  # (S, hd)
         acc_ref[:, hh, :] = acc_ref[:, hh, :] * alpha[:, None] + pv
@@ -296,8 +298,11 @@ def paged_flash_decode_stream_flat_q8(q, kpool, vpool, k_scale, v_scale,
                                       num_active_blocks: int | None = None,
                                       interpret: bool = False):
     """int8-pool stream flash decode: kpool/vpool (L, NB, BS, H*hd) int8,
-    k_scale/v_scale (L, NB, BS) fp32 per-token symmetric scales
-    (serve/paged.py quantize_kv). Same contract as
+    k_scale/v_scale the CURRENT LAYER's (NB, BS) fp32 per-token symmetric
+    scales (serve/paged.py quantize_kv) — the caller slices the layer
+    outside the kernel (a ~16 KB dynamic slice XLA fuses) because the TPU
+    lowering rejects both the (1, c, bs) -> flat in-kernel reshape and a
+    (1, c*bs) block over an (L, NB*BS) array. Same contract as
     paged_flash_decode_stream_flat otherwise."""
     s_slots, h, hd = q.shape
     _, nb_total, bs, dh = kpool.shape
@@ -312,6 +317,12 @@ def paged_flash_decode_stream_flat_q8(q, kpool, vpool, k_scale, v_scale,
     c = min(chunk_blocks, nb)
     if nb % c:
         raise ValueError(f"bound {nb} not divisible by chunk {c}")
+    nbt = k_scale.shape[0]
+    # flatten the layer's (NB, BS) scales to one (1, NB*BS) row: the
+    # kernel consumes (1, C*BS) tiles, legal because the block's first dim
+    # equals the whole array's
+    k_scale = k_scale.reshape(1, nbt * bs)
+    v_scale = v_scale.reshape(1, nbt * bs)
     kernel = pl.pallas_call(
         functools.partial(_stream_kernel_flat_q8, num_heads=num_heads),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -322,8 +333,8 @@ def paged_flash_decode_stream_flat_q8(q, kpool, vpool, k_scale, v_scale,
                 pl.BlockSpec((s_slots, c * bs), lambda i, l: (0, i)),
                 pl.BlockSpec((1, c, bs, dh), lambda i, l: (l[0], i, 0, 0)),
                 pl.BlockSpec((1, c, bs, dh), lambda i, l: (l[0], i, 0, 0)),
-                pl.BlockSpec((1, c, bs), lambda i, l: (l[0], i, 0)),
-                pl.BlockSpec((1, c, bs), lambda i, l: (l[0], i, 0)),
+                pl.BlockSpec((1, c * bs), lambda i, l: (0, i)),
+                pl.BlockSpec((1, c * bs), lambda i, l: (0, i)),
             ],
             out_specs=pl.BlockSpec((s_slots, h, hd), lambda i, l: (0, 0, 0)),
             scratch_shapes=[

@@ -279,8 +279,16 @@ def paged_decode_embeds(cfg: LlamaConfig, backbone_params, pool, tables,
         p = {**p, "k": k_pool, "v": v_pool}
         if use_kernel:
             if quant:
+                # the layer's scales slice here (tiny; XLA fuses the
+                # dynamic slice) — the kernel's scale tiles must be blocks
+                # of a single-row array (TPU lowering constraint, see the
+                # kernel docstring)
                 attn = paged_flash_decode_stream_flat_q8(
-                    q[:, 0], k_pool, v_pool, p["k_scale"], p["v_scale"],
+                    q[:, 0], k_pool, v_pool,
+                    jax.lax.dynamic_index_in_dim(
+                        p["k_scale"], li, 0, keepdims=False),
+                    jax.lax.dynamic_index_in_dim(
+                        p["v_scale"], li, 0, keepdims=False),
                     vis_i8, li, num_heads=h, chunk_blocks=chunk,
                     num_active_blocks=nb, interpret=interp)
             else:
