@@ -233,6 +233,23 @@ def main():
 
     spin_before = host_spin_ms()
 
+    # link-health diagnostic: median round trip of a tiny dispatch+fetch.
+    # ~25-30 ms on a healthy relay; an inflated value (with low host spin
+    # and a normal device ceiling) marks a DEGRADED LINK capture — the
+    # engine's decode chunks then serialize on dispatch delivery and
+    # sustained throughput collapses with no host or device cause
+    # (observed: 12.7k -> 4.0k tok/s between two idle-box runs an hour
+    # apart; slope-measured device step identical in both).
+    tiny = jnp.zeros((8,), jnp.float32)
+    tick = jax.jit(lambda x: x + 1.0)
+    np.asarray(tick(tiny))
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(tick(tiny))
+        rtts.append((time.perf_counter() - t0) * 1e3)
+    dispatch_rtt_ms = sorted(rtts)[2]
+
     # warmup: 2 waves + a straggler so the displacing-insert and batched
     # stash-drain programs compile here, not inside measured pass 1
     eng.run([make_request(100_000 + i) for i in range(2 * num_slots + 1)],
@@ -287,6 +304,7 @@ def main():
             "engine_pct_of_ceiling": round(
                 100.0 * engine_tok_s / ceiling_tok_s, 1),
             "host_spin_ms": [round(spin_before, 1), round(spin_after, 1)],
+            "dispatch_rtt_ms": round(dispatch_rtt_ms, 1),
             "engine_slots": num_slots,
             "engine_requests": num_requests,
         },
