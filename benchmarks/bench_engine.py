@@ -17,7 +17,7 @@ import numpy as np
 
 def main(num_slots: int = 8, num_requests: int = 24, dtype: str = "bfloat16",
          poll_interval: int = 256, wav_input: bool = False,
-         eager_drain: bool = True):
+         eager_drain: bool = True, kv_quant: str = ""):
     import jax
     import jax.numpy as jnp
 
@@ -86,6 +86,7 @@ def main(num_slots: int = 8, num_requests: int = 24, dtype: str = "bfloat16",
         max_global=32, max_semantic=256, mix_buckets=(256,),
         dtype=jnp.bfloat16 if dtype == "bfloat16" else None,
         eager_drain=eager_drain,
+        kv_quant=kv_quant or None,
         **extra,
     )
     # warmup: fill the pool once end-to-end (compiles prefill waves + step)
@@ -105,7 +106,8 @@ def main(num_slots: int = 8, num_requests: int = 24, dtype: str = "bfloat16",
         "num_slots": num_slots,
         "num_requests": num_requests,
         "dtype": dtype,
-        "kv": "paged",
+        "kv": "paged int8" if kv_quant else "paged",
+        "kernel": eng.use_flash_kernel or "xla",
         "input": "wav" if wav_input else "feats",
         "drain": "eager" if eager_drain else "deferred",
         "poll_interval": poll_interval,
@@ -135,4 +137,6 @@ if __name__ == "__main__":
         kw["wav_input"] = bool(int(sys.argv[5]))
     if len(sys.argv) > 6:
         kw["eager_drain"] = bool(int(sys.argv[6]))
+    if len(sys.argv) > 7:
+        kw["kv_quant"] = sys.argv[7]
     main(**kw)

@@ -54,7 +54,7 @@ def main(num_slots: int = 16):
     from unified_audio_tpu.models.unitok.model import UniTokConfig, UniTokLM
     from unified_audio_tpu.serve.engine import (ContinuousBatchingEngine,
                                                 Request)
-    from unified_audio_tpu.serve.paged import (BlockAllocator, PoolRef,
+    from unified_audio_tpu.serve.paged import (PoolRef, RegionAllocator,
                                                init_pool)
     from unified_audio_tpu.serve.unitok_engine import (UniTokEngine,
                                                        UniTokRequest)
@@ -82,10 +82,12 @@ def main(num_slots: int = 16):
         np.zeros((1, 6, ucfg.num_codebooks), np.int32))))
 
     bs = 64
-    # pool sized for the LARGER per-slot footprint of the two engines
-    num_blocks = 256 + 128
+    # pool sized for the LARGER per-slot footprint of the two engines, in
+    # 16-block regions (both engines default to the owner kernel on TPU):
+    # UniSE 16 slots + UniTok 8 slots + trash region + spare
+    num_blocks = (num_slots + 8 + 2) * 16 + 32
     pool_ref = PoolRef(init_pool(lcfg, num_blocks, bs, dtype=jnp.bfloat16))
-    alloc = BlockAllocator(num_blocks)
+    alloc = RegionAllocator(num_blocks, 16)
 
     eng_u = ContinuousBatchingEngine(
         sft, sft_params, num_slots=num_slots, block_size=bs,

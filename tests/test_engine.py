@@ -896,3 +896,144 @@ class TestInt8KVPool:
         eng2 = make_engine(sft, params, pool_ref=eng._pool_ref,
                            allocator=eng.allocator)
         assert eng2.kv_quant == "int8"
+
+
+class TestRegionAllocator:
+    def test_contiguous_aligned_low_first(self):
+        from unified_audio_tpu.serve.paged import RegionAllocator
+
+        a = RegionAllocator(64, 8)
+        b0 = a.alloc(5)
+        b1 = a.alloc(8)
+        assert b0 == list(range(8, 13))      # region 1 (region 0 reserved)
+        assert b1 == list(range(16, 24))
+        assert a.high_water() == 3 * 8
+        a.release(b0)
+        assert a.alloc(3) == [8, 9, 10]      # low-first region reuse
+        assert a.block_cost(1) == 8 == a.block_cost(8)
+
+    def test_exhaustion_and_validation(self):
+        from unified_audio_tpu.serve.paged import RegionAllocator
+
+        a = RegionAllocator(24, 8)           # regions 1, 2 usable
+        with pytest.raises(ValueError, match="exceeds the region"):
+            a.alloc(9)
+        a.alloc(8)
+        a.alloc(4)
+        assert len(a.free) == 0
+        with pytest.raises(RuntimeError, match="exhausted"):
+            a.alloc(1)
+        with pytest.raises(ValueError, match="unallocated"):
+            a.release([1])
+        with pytest.raises(ValueError):
+            RegionAllocator(8, 8)            # only the reserved region fits
+
+
+class TestOwnerKernelEngine:
+    """Owner-mode serving (RegionAllocator + ownership-aware kernel): runs
+    must be token-identical to the XLA-attention engine, including slot
+    displacement / region recycling."""
+
+    def _run(self, sft, params, use_kernel, n_req=5):
+        eng = make_engine(sft, params, use_flash_kernel=use_kernel)
+        reqs = [
+            Request(task_id=i % 3,
+                    mix_feats=np.random.default_rng(i).standard_normal(
+                        (10, 12)).astype(np.float32),
+                    enroll_feats=(
+                        np.random.default_rng(100 + i).standard_normal(
+                            (10, 12)).astype(np.float32) if i % 3 else None),
+                    global_length=4, semantic_length=6,
+                    do_sample=False, uid=i)
+            for i in range(n_req)
+        ]
+        return eng, eng.run(reqs, jax.random.PRNGKey(0))
+
+    def test_owner_engine_equals_xla(self, setup):
+        from unified_audio_tpu.serve.paged import RegionAllocator
+
+        cfg, sft, params, rng = setup
+        eng_o, a = self._run(sft, params, "owner")
+        assert isinstance(eng_o.allocator, RegionAllocator)
+        # one program per step count: the bound is constant in owner mode
+        assert eng_o._block_bound() == eng_o.num_blocks
+        _, b = self._run(sft, params, False)
+        assert set(a) == set(b) == set(range(5))
+        for u in a:
+            np.testing.assert_array_equal(a[u].global_ids, b[u].global_ids)
+            np.testing.assert_array_equal(a[u].semantic_ids,
+                                          b[u].semantic_ids)
+
+    def test_owner_requires_region_allocator(self, setup):
+        from unified_audio_tpu.serve.paged import BlockAllocator
+
+        cfg, sft, params, rng = setup
+        with pytest.raises(ValueError, match="RegionAllocator"):
+            make_engine(sft, params, use_flash_kernel="owner",
+                        num_blocks=64, allocator=BlockAllocator(64))
+
+    def test_owner_region_size_validated(self, setup):
+        from unified_audio_tpu.serve.paged import RegionAllocator
+
+        cfg, sft, params, rng = setup
+        with pytest.raises(ValueError, match="multiple of owner_chunk"):
+            make_engine(sft, params, use_flash_kernel="owner",
+                        num_blocks=64, allocator=RegionAllocator(64, 9),
+                        owner_chunk_blocks=8)
+
+    def test_owner_sampled_run_displaces_regions(self, setup):
+        """Sampled traffic through owner mode exercises region recycling
+        with displacing admissions; the same seeds through the XLA engine
+        must reproduce every token (sampling consumes identical logits)."""
+        cfg, sft, params, rng = setup
+
+        def run(uk):
+            eng = make_engine(sft, params, use_flash_kernel=uk)
+            reqs = [
+                Request(task_id=0,
+                        mix_feats=np.random.default_rng(i).standard_normal(
+                            (10, 12)).astype(np.float32),
+                        global_length=3, semantic_length=5,
+                        do_sample=True, temperature=0.9, top_k=8,
+                        uid=i)
+                for i in range(6)
+            ]
+            return eng.run(reqs, jax.random.PRNGKey(7))
+
+        a, b = run("owner"), run(False)
+        assert set(a) == set(b)
+        for u in a:
+            np.testing.assert_array_equal(a[u].global_ids, b[u].global_ids)
+            np.testing.assert_array_equal(a[u].semantic_ids,
+                                          b[u].semantic_ids)
+
+    def test_owner_int8_pool_engine_equals_xla(self, setup):
+        """int8 KV pool served through the owner kernel == the XLA int8
+        dequant engine, token-identical (the DMA-bound owner formulation
+        makes int8 a SPEED lever, not just capacity)."""
+        cfg, sft, params, rng = setup
+
+        def run(uk):
+            eng = make_engine(sft, params, kv_quant="int8",
+                              use_flash_kernel=uk)
+            assert "k_scale" in eng.pool
+            reqs = [
+                Request(task_id=i % 3,
+                        mix_feats=np.random.default_rng(i).standard_normal(
+                            (10, 12)).astype(np.float32),
+                        enroll_feats=(
+                            np.random.default_rng(100 + i).standard_normal(
+                                (10, 12)).astype(np.float32) if i % 3
+                            else None),
+                        global_length=4, semantic_length=6,
+                        do_sample=False, uid=i)
+                for i in range(5)
+            ]
+            return eng.run(reqs, jax.random.PRNGKey(0))
+
+        a, b = run("owner"), run(False)
+        assert set(a) == set(b) == set(range(5))
+        for u in a:
+            np.testing.assert_array_equal(a[u].global_ids, b[u].global_ids)
+            np.testing.assert_array_equal(a[u].semantic_ids,
+                                          b[u].semantic_ids)

@@ -304,3 +304,157 @@ class TestInt8PoolStreamDecode:
         a, b = np.asarray(l8), np.asarray(l32)
         denom = np.abs(b).max() + 1e-9
         assert np.abs(a - b).max() / denom < 0.05, np.abs(a - b).max() / denom
+
+
+class TestOwnerFlashDecode:
+    """Round-4 ownership-aware kernel: grid (slot, owned-chunk) over
+    contiguous RegionAllocator ranges == the XLA paged formulation, end to
+    end through paged_decode_ids (interpret mode on CPU)."""
+
+    def _setup(self, rng, region_blocks=4, chunk=2):
+        from unified_audio_tpu.models.lm.llama import LlamaConfig, init_cache
+        from unified_audio_tpu.models.lm.sft import LLMSFT
+        from unified_audio_tpu.serve.paged import (RegionAllocator, init_pool,
+                                                   scatter_prefill)
+
+        cfg = LlamaConfig(global_size=16, semantic_size=32, hidden_size=32,
+                          num_layers=2, num_heads=4)
+        sft = LLMSFT(cfg, feats_dim=8)
+        variables = sft.init(
+            jax.random.PRNGKey(0), 0, None, jnp.zeros((1, 4, 8), jnp.float32),
+            jnp.zeros((1, 4), jnp.int32), jnp.zeros((1, 4), jnp.int32))
+        lm_params = variables["params"]["lm"]
+
+        bs, nb_total, s_slots = 8, 40, 3
+        alloc = RegionAllocator(nb_total, region_blocks)
+        pool = init_pool(cfg, nb_total, bs)
+        tables_np = np.zeros((s_slots, 3), np.int32)
+        for s, n in enumerate((3, 2, 3)):
+            blocks = alloc.alloc(n)
+            assert blocks[0] % chunk == 0  # chunk-aligned contiguous start
+            tables_np[s, :n] = blocks
+        tables = jnp.asarray(tables_np)
+        prompt = jnp.asarray(rng.standard_normal(
+            (s_slots, 10, cfg.hidden_size)).astype(np.float32))
+        cache = init_cache(cfg, s_slots, 10)
+        _, cache = sft.apply(variables, prompt, cache,
+                             method=lambda m, p, c: m.lm.prefill(p, c))
+        pool = scatter_prefill(pool, tables, cache["k"], cache["v"], bs)
+        return cfg, lm_params, pool, tables, bs, chunk
+
+    def test_owner_step_equals_xla_step(self, rng):
+        from unified_audio_tpu.serve.paged import paged_decode_ids
+
+        cfg, lm_params, pool, tables, bs, chunk = self._setup(rng)
+        # slot 1's live prefix ends inside chunk 0 (index 7 < 2*8):
+        # exercises the clamped dead-chunk DMA + j < nc compute gate
+        index = jnp.asarray([10, 7, 10], jnp.int32)
+        active = jnp.asarray([True, True, True])
+        ids = jnp.asarray([3, 4, 5], jnp.int32)
+        ref, pool_r = paged_decode_ids(cfg, lm_params, pool, tables, index,
+                                       active, ids, bs)
+        got, pool_k = paged_decode_ids(cfg, lm_params, pool, tables, index,
+                                       active, ids, bs, use_kernel="owner",
+                                       owner_chunk_blocks=chunk)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=3e-5)
+        np.testing.assert_allclose(np.asarray(pool_r["k"]),
+                                   np.asarray(pool_k["k"]), atol=3e-5)
+
+    def test_owner_multi_step_trajectory_with_inactive(self, rng):
+        """Greedy trajectories identical across the XLA and owner paths,
+        with an inactive slot in the batch (owner emits zeros for it; its
+        sampled garbage never feeds back because active gates the engine's
+        state updates — here we only compare active rows)."""
+        from unified_audio_tpu.serve.paged import paged_decode_ids
+
+        cfg, lm_params, pool, tables, bs, chunk = self._setup(rng)
+        active = jnp.asarray([True, False, True])
+        ref_toks = None
+        for uk in (False, "owner"):
+            p = {"k": pool["k"], "v": pool["v"]}
+            idx = jnp.asarray([10, 7, 10], jnp.int32)
+            ids = jnp.asarray([3, 4, 5], jnp.int32)
+            toks = []
+            for _ in range(6):
+                logits, p = paged_decode_ids(
+                    cfg, lm_params, p, tables, idx, active, ids, bs,
+                    use_kernel=uk, owner_chunk_blocks=chunk)
+                ids = jnp.argmax(logits, -1).astype(jnp.int32)
+                idx = idx + 1
+                toks.append(np.asarray(ids))
+            t = np.stack(toks)[:, [0, 2]]
+            if uk:
+                np.testing.assert_array_equal(t, ref_toks)
+            else:
+                ref_toks = t
+
+    def test_owner_single_chunk_region(self, rng):
+        """chunk == region (max_chunks == 1): the whole-region-in-one-DMA
+        configuration the serving engine uses on TPU."""
+        from unified_audio_tpu.serve.paged import paged_decode_ids
+
+        cfg, lm_params, pool, tables, bs, _ = self._setup(
+            rng, region_blocks=4, chunk=4)
+        index = jnp.asarray([10, 7, 10], jnp.int32)
+        active = jnp.asarray([True, True, True])
+        ids = jnp.asarray([3, 4, 5], jnp.int32)
+        ref, _ = paged_decode_ids(cfg, lm_params, pool, tables, index,
+                                  active, ids, bs)
+        got, _ = paged_decode_ids(cfg, lm_params, pool, tables, index,
+                                  active, ids, bs, use_kernel="owner",
+                                  owner_chunk_blocks=4)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=3e-5)
+
+    def test_owner_q8_equals_q8_xla(self, rng):
+        """int8-pool owner kernel == the XLA int8-dequant path: same
+        quantized pool, same row-wise fp32 scale folds — greedy multi-step
+        trajectories must be token-identical."""
+        from unified_audio_tpu.models.lm.llama import LlamaConfig, init_cache
+        from unified_audio_tpu.models.lm.sft import LLMSFT
+        from unified_audio_tpu.serve.paged import (RegionAllocator, init_pool,
+                                                   paged_decode_ids,
+                                                   scatter_prefill)
+
+        cfg = LlamaConfig(global_size=16, semantic_size=32, hidden_size=32,
+                          num_layers=2, num_heads=4)
+        sft = LLMSFT(cfg, feats_dim=8)
+        variables = sft.init(
+            jax.random.PRNGKey(0), 0, None, jnp.zeros((1, 4, 8), jnp.float32),
+            jnp.zeros((1, 4), jnp.int32), jnp.zeros((1, 4), jnp.int32))
+        lm_params = variables["params"]["lm"]
+
+        bs, nb_total, s_slots, chunk = 8, 40, 2, 2
+        alloc = RegionAllocator(nb_total, 4)
+        tables_np = np.zeros((s_slots, 3), np.int32)
+        for s, n in enumerate((3, 2)):
+            tables_np[s, :n] = alloc.alloc(n)
+        tables = jnp.asarray(tables_np)
+        pool0 = init_pool(cfg, nb_total, bs, quant="int8")
+        prompt = jnp.asarray(rng.standard_normal(
+            (s_slots, 10, cfg.hidden_size)).astype(np.float32))
+        cache = init_cache(cfg, s_slots, 10)
+        _, cache = sft.apply(variables, prompt, cache,
+                             method=lambda m, p, c: m.lm.prefill(p, c))
+        pool0 = scatter_prefill(pool0, tables, cache["k"], cache["v"], bs)
+
+        active = jnp.asarray([True, True])
+        ref_toks = None
+        for uk in (False, "owner"):
+            p = dict(pool0)
+            idx = jnp.asarray([10, 7], jnp.int32)
+            ids = jnp.asarray([3, 4], jnp.int32)
+            toks = []
+            for _ in range(6):
+                logits, p = paged_decode_ids(
+                    cfg, lm_params, p, tables, idx, active, ids, bs,
+                    use_kernel=uk, owner_chunk_blocks=chunk)
+                ids = jnp.argmax(logits, -1).astype(jnp.int32)
+                idx = idx + 1
+                toks.append(np.asarray(ids))
+            t = np.stack(toks)
+            if uk:
+                np.testing.assert_array_equal(t, ref_toks)
+            else:
+                ref_toks = t

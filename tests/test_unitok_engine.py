@@ -287,3 +287,33 @@ class TestUniTokInt8Pool:
         a, b = run(False), run(True)
         for u in a:
             np.testing.assert_array_equal(a[u].codes, b[u].codes)
+
+
+class TestUniTokOwnerKernel:
+    def test_owner_equals_xla(self, lm_setup, rng):
+        """UniTok serving through the ownership-aware kernel (Region-
+        Allocator contiguous ranges) == the XLA paged path, mixed lengths
+        with slot displacement."""
+        from unified_audio_tpu.serve.paged import RegionAllocator
+
+        cfg, lm, params = lm_setup
+
+        def run(use_kernel):
+            eng = _engine(cfg, lm, params, num_slots=2,
+                          use_flash_kernel=use_kernel)
+            if use_kernel == "owner":
+                assert isinstance(eng.allocator, RegionAllocator)
+            reqs = [UniTokRequest(task_id=i % 7, num_frames=4 + i,
+                                  input_feats=rng.standard_normal(
+                                      (5, cfg.audio_dim)).astype(np.float32),
+                                  do_sample=False, uid=i)
+                    for i in range(4)]
+            return eng.run(reqs, jax.random.PRNGKey(2))
+
+        rng = np.random.default_rng(3)
+        a = run("owner")
+        rng = np.random.default_rng(3)
+        b = run(False)
+        assert set(a) == set(b)
+        for u in a:
+            np.testing.assert_array_equal(a[u].codes, b[u].codes)

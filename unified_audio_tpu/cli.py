@@ -610,6 +610,7 @@ def cmd_serve(args):
         feature_fn=unise.wavlm_feats_pure,
         feature_params=unise.wavlm_variables,
         wav_buckets=(seg,),
+        kv_quant=(args.kv_quant or None),
     )
     if ss_lines:
         from .serve.cascade import SSCascadeRunner
@@ -763,6 +764,10 @@ def main(argv=None):
     t6.add_argument("--slots", type=int, default=16)  # measured sweet spot
     # with the Pallas stream kernel (benchmarks/RESULTS.json round 3)
     t6.add_argument("--bf16", action="store_true", default=True)
+    t6.add_argument("--kv-quant", choices=["", "int8"], default="",
+                    help="int8 KV block pool (half the pool HBM; through "
+                         "the owner kernel also the faster decode — "
+                         "docs/PERFORMANCE.md)")
     t6.add_argument("--seed", type=int, default=0)
     t6.set_defaults(fn=cmd_serve)
 

@@ -350,6 +350,273 @@ def paged_flash_decode_stream_flat_q8(q, kpool, vpool, k_scale, v_scale,
                   kpool, vpool, k_scale, v_scale)
 
 
+# ---------------------------------------------------------------------------
+# FOURTH formulation (round 4): ownership-aware flash decode.
+#
+# The stream kernel above is VPU-bound, not HBM-bound, at serving shapes:
+# every slot computes flash logits/exp against every pool key while owning
+# only ~7% of them (int8 halving the streamed bytes moved the step 1.04 ->
+# 1.08 ms — measured negative). This kernel restores O(owned) COMPUTE by
+# gridding over (slot, owned-chunk): each grid step DMAs a c-block chunk of
+# ONE slot's own contiguous block range (RegionAllocator in serve/paged.py
+# hands every slot a c-aligned contiguous region) and computes that slot's
+# (1, c*BS) flash update only. Total VPU work drops ~S-fold; HBM traffic
+# stays ~one pool-prefix read (sum of owned regions), and the step time
+# becomes independent of POOL CAPACITY — no more bucketed high-water
+# bounds or bucket-crossing recompiles in the serving step.
+# ---------------------------------------------------------------------------
+
+
+def _owner_kernel_flat(sc_ref, idx_ref, li_ref, q_ref, kpool_ref, vpool_ref,
+                       out_ref, acc_ref, m_ref, l_ref, *, num_heads: int):
+    s = pl.program_id(0)
+    j = pl.program_id(1)
+    num_j = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    k = kpool_ref[0].astype(jnp.float32)   # (C, BS, DH) dense bf16 tiles
+    v = vpool_ref[0].astype(jnp.float32)
+    c, bs, dh = k.shape
+    ck = c * bs
+    h = num_heads
+    hd = dh // h
+    k = k.reshape(ck, dh)
+    v = v.reshape(ck, dh)
+    q = q_ref[0].astype(jnp.float32)       # (H, hd)
+
+    # slot-local key positions covered by logical chunk j. The index map
+    # CLAMPS the DMA to the last live chunk for j >= nc (in-bounds re-read
+    # of already-seen data), so visibility must gate on j < nc as well as
+    # the position test — otherwise clamped re-reads double-count keys.
+    idx = idx_ref[s]
+    nc = (idx + ck) // ck                  # ceil((idx+1)/ck); idx<0 -> 0
+    pos = j * ck + jax.lax.broadcasted_iota(jnp.int32, (1, ck), 1)
+    vis = (j < nc) & (pos <= idx)          # (1, CK)
+
+    scale = hd ** -0.5
+    m_old = m_ref[:]                       # (1, H)
+    l_old = l_ref[:]
+    for hh in range(h):
+        sl = slice(hh * hd, (hh + 1) * hd)
+        logits = jax.lax.dot_general(
+            q[hh][None], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                                          # (1, CK)
+        logits = jnp.where(vis, logits, NEG_INF)
+        m_new = jnp.maximum(m_old[:, hh], jnp.max(logits, axis=-1))
+        alpha = jnp.exp(m_old[:, hh] - m_new)
+        p = jnp.exp(logits - m_new[:, None])
+        l_new = l_old[:, hh] * alpha + jnp.sum(p, axis=-1)
+        pv = jax.lax.dot_general(
+            p, v[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                  # (1, hd)
+        acc_ref[:, hh, :] = acc_ref[:, hh, :] * alpha[:, None] + pv
+        m_ref[:, hh] = m_new
+        l_ref[:, hh] = l_new
+
+    @pl.when(j == num_j - 1)
+    def _finish():
+        # fully-masked rows (inactive slots, idx < 0) emit zeros
+        out_ref[:] = (acc_ref[:]
+                      / jnp.maximum(l_ref[:], 1e-30)[:, :, None]).astype(
+            out_ref.dtype)
+
+
+def _owner_kernel_flat_q8(sc_ref, idx_ref, li_ref, q_ref, kpool_ref,
+                          vpool_ref, ksc_ref, vsc_ref, out_ref, acc_ref,
+                          m_ref, l_ref, *, num_heads: int):
+    """int8-pool owner kernel: the bf16 owner kernel measured DMA-BOUND
+    (577 GB/s at 16 slots x 16-block regions, vs VPU-bound for the stream
+    kernel) — so halving the streamed bytes halves the step here, where it
+    measured NEUTRAL for the stream formulation (docs/PERFORMANCE.md int8
+    section). Scales fold row-wise into logits/probs exactly like
+    _stream_kernel_flat_q8, so the XLA dequant path stays pinnable."""
+    s = pl.program_id(0)
+    j = pl.program_id(1)
+    num_j = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    ksc = ksc_ref[:]                        # (1, CK) fp32
+    vsc = vsc_ref[:]
+    k = kpool_ref[0].astype(jnp.float32)    # (C, BS, DH) — convert only
+    v = vpool_ref[0].astype(jnp.float32)
+    c, bs, dh = k.shape
+    ck = c * bs
+    h = num_heads
+    hd = dh // h
+    k = k.reshape(ck, dh)
+    v = v.reshape(ck, dh)
+    q = q_ref[0].astype(jnp.float32)        # (H, hd)
+
+    idx = idx_ref[s]
+    nc = (idx + ck) // ck
+    pos = j * ck + jax.lax.broadcasted_iota(jnp.int32, (1, ck), 1)
+    vis = (j < nc) & (pos <= idx)           # (1, CK)
+
+    scale = hd ** -0.5
+    m_old = m_ref[:]
+    l_old = l_ref[:]
+    for hh in range(h):
+        sl = slice(hh * hd, (hh + 1) * hd)
+        logits = jax.lax.dot_general(
+            q[hh][None], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * (ksc * scale)                                  # (1, CK)
+        logits = jnp.where(vis, logits, NEG_INF)
+        m_new = jnp.maximum(m_old[:, hh], jnp.max(logits, axis=-1))
+        alpha = jnp.exp(m_old[:, hh] - m_new)
+        p = jnp.exp(logits - m_new[:, None])
+        l_new = l_old[:, hh] * alpha + jnp.sum(p, axis=-1)
+        pv = jax.lax.dot_general(
+            p * vsc, v[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                  # (1, hd)
+        acc_ref[:, hh, :] = acc_ref[:, hh, :] * alpha[:, None] + pv
+        m_ref[:, hh] = m_new
+        l_ref[:, hh] = l_new
+
+    @pl.when(j == num_j - 1)
+    def _finish():
+        out_ref[:] = (acc_ref[:]
+                      / jnp.maximum(l_ref[:], 1e-30)[:, :, None]).astype(
+            out_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_heads", "chunk_blocks", "max_chunks",
+                                    "interpret"))
+def paged_flash_decode_owner_q8(q, kpool, vpool, k_scale, v_scale,
+                                start_block, index, li, num_heads: int,
+                                chunk_blocks: int, max_chunks: int,
+                                interpret: bool = False):
+    """int8-pool ownership-aware flash decode: kpool/vpool flat
+    (L, NB, BS, H*hd) int8, k_scale/v_scale the CURRENT LAYER's (NB, BS)
+    fp32 per-token symmetric scales (the caller slices the layer outside —
+    same TPU lowering constraint as the q8 stream kernel). Contract
+    otherwise identical to paged_flash_decode_owner."""
+    s_slots, h, hd = q.shape
+    _, nbt, bs, dh = kpool.shape
+    c = chunk_blocks
+    if not interpret and (c * bs) % 128:
+        raise ValueError(
+            f"owner kernel: chunk_blocks*block_size ({c * bs}) must be a "
+            "128-lane multiple on TPU")
+    ck = c * bs
+    k_scale = k_scale.reshape(1, nbt * bs)
+    v_scale = v_scale.reshape(1, nbt * bs)
+
+    def kmap(s, j, sc, idx, l):
+        nc = (idx[s] + ck) // ck
+        jc = jnp.minimum(j, jnp.maximum(nc - 1, 0))
+        return (l[0], sc[s] // c + jc, 0, 0)
+
+    def scmap(s, j, sc, idx, l):
+        nc = (idx[s] + ck) // ck
+        jc = jnp.minimum(j, jnp.maximum(nc - 1, 0))
+        return (0, sc[s] // c + jc)
+
+    kernel = pl.pallas_call(
+        functools.partial(_owner_kernel_flat_q8, num_heads=num_heads),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(s_slots, max_chunks),
+            in_specs=[
+                pl.BlockSpec((1, h, hd), lambda s, j, sc, idx, l: (s, 0, 0)),
+                pl.BlockSpec((1, c, bs, dh), kmap),
+                pl.BlockSpec((1, c, bs, dh), kmap),
+                pl.BlockSpec((1, ck), scmap),
+                pl.BlockSpec((1, ck), scmap),
+            ],
+            out_specs=pl.BlockSpec((1, h, hd),
+                                   lambda s, j, sc, idx, l: (s, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((1, h, hd), jnp.float32),
+                pltpu.VMEM((1, num_heads), jnp.float32),
+                pltpu.VMEM((1, num_heads), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((s_slots, h, hd), q.dtype),
+        interpret=interpret,
+    )
+    return kernel(start_block, index, jnp.asarray(li, jnp.int32).reshape(1),
+                  q, kpool, vpool, k_scale, v_scale)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_heads", "chunk_blocks", "max_chunks",
+                                    "interpret"))
+def paged_flash_decode_owner(q, kpool, vpool, start_block, index, li,
+                             num_heads: int, chunk_blocks: int,
+                             max_chunks: int, interpret: bool = False):
+    """Ownership-aware flash decode: q (S, H, hd); kpool/vpool flat
+    (L, NB, BS, H*hd); start_block (S,) int32 = FIRST physical block of
+    each slot's contiguous range (must be chunk_blocks-aligned; the
+    RegionAllocator guarantees it); index (S,) int32 current position per
+    slot, -1 for inactive slots (their rows come back zero); li scalar
+    layer index.
+
+    Equivalent to softmax(q . K_own / sqrt(hd)) @ V_own over slot-local key
+    positions <= index, where slot s's position p lives at physical block
+    start_block[s] + p // BS. Grid (S, max_chunks): step (s, j) streams
+    chunk j of slot s's region — the whole region [start, start +
+    max_chunks*chunk_blocks) must lie inside the pool (the allocator only
+    hands out full in-pool regions). Chunks past the slot's live prefix
+    clamp their DMA to the last live chunk and mask the compute, so dead
+    region tails cost bandwidth only when allocated.
+    """
+    s_slots, h, hd = q.shape
+    _, nb_total, bs, dh = kpool.shape
+    c = chunk_blocks
+    if not interpret and (c * bs) % 128:
+        raise ValueError(
+            f"owner kernel: chunk_blocks*block_size ({c * bs}) must be a "
+            "128-lane multiple on TPU")
+    ck = c * bs
+
+    def kmap(s, j, sc, idx, l):
+        # clamp to the last live chunk (j >= nc re-reads in-bounds data the
+        # kernel masks out); inactive slots (idx=-1 -> nc=0) read chunk 0
+        # of their (stale or trash) region, fully masked
+        nc = (idx[s] + ck) // ck
+        jc = jnp.minimum(j, jnp.maximum(nc - 1, 0))
+        return (l[0], sc[s] // c + jc, 0, 0)
+
+    kernel = pl.pallas_call(
+        functools.partial(_owner_kernel_flat, num_heads=num_heads),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(s_slots, max_chunks),
+            in_specs=[
+                pl.BlockSpec((1, h, hd), lambda s, j, sc, idx, l: (s, 0, 0)),
+                pl.BlockSpec((1, c, bs, dh), kmap),
+                pl.BlockSpec((1, c, bs, dh), kmap),
+            ],
+            out_specs=pl.BlockSpec((1, h, hd),
+                                   lambda s, j, sc, idx, l: (s, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((1, h, hd), jnp.float32),
+                pltpu.VMEM((1, num_heads), jnp.float32),
+                pltpu.VMEM((1, num_heads), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((s_slots, h, hd), q.dtype),
+        interpret=interpret,
+    )
+    return kernel(start_block, index, jnp.asarray(li, jnp.int32).reshape(1),
+                  q, kpool, vpool)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("num_heads", "chunk_blocks",
                                     "num_active_blocks", "interpret"))

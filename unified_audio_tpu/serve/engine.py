@@ -65,7 +65,8 @@ import jax.numpy as jnp
 from ..models.lm.llama import (LlamaConfig, init_cache, range_mask,
                                sample_logits_vec)
 from ..models.lm.sft import LLMSFT
-from .paged import (TRASH_BLOCK, BlockAllocator, init_pool, paged_decode_ids,
+from .paged import (TRASH_BLOCK, BlockAllocator, RegionAllocator,
+                    init_pool, paged_decode_ids,
                     scatter_prefill)
 
 PHASE_GLOBAL, PHASE_SEMANTIC, PHASE_DONE = 0, 1, 2
@@ -207,7 +208,8 @@ class ContinuousBatchingEngine:
         pool_ref=None,
         allocator=None,
         dtype=None,
-        use_flash_kernel: Optional[bool] = None,
+        use_flash_kernel=None,
+        owner_chunk_blocks: int = 16,
         unify_waves: bool = True,
         feature_fn=None,
         feature_params=None,
@@ -285,13 +287,26 @@ class ContinuousBatchingEngine:
         self.mix_buckets = tuple(sorted(mix_buckets))
         self.enroll_buckets = tuple(sorted(enroll_buckets or mix_buckets))
         self.max_top_k = max_top_k
-        # Pallas full-stream flash decode (serve/paged.py use_kernel):
-        # default ON on TPU (measured ~3.9x the XLA attention at 32-slot
-        # pool widths), interpret-mode-correct elsewhere but slow — tests
-        # opt in explicitly
+        # Pallas flash-decode kernel mode (serve/paged.py use_kernel):
+        # "owner" (default on TPU) = ownership-aware kernel over contiguous
+        # RegionAllocator ranges — O(owned) compute per slot and step time
+        # independent of pool capacity; "stream" = round-3 full-stream
+        # kernel (every slot against the whole bounded pool prefix,
+        # measured VPU-bound at 16+ slots); False = XLA einsum attention.
+        # int8 pools route onto the stream kernel (owner has no q8 path).
+        # Interpret-mode-correct off-TPU but slow — tests opt in
+        # explicitly.
         if use_flash_kernel is None:
-            use_flash_kernel = jax.default_backend() == "tpu"
-        self.use_flash_kernel = use_flash_kernel
+            use_flash_kernel = (
+                "owner" if jax.default_backend() == "tpu" else False)
+        if use_flash_kernel is True:
+            use_flash_kernel = "stream"
+        self.use_flash_kernel = use_flash_kernel or ""
+        if self.use_flash_kernel not in ("", "stream", "owner"):
+            raise ValueError(
+                f"use_flash_kernel={use_flash_kernel!r}: expected None, "
+                "bool, 'stream' or 'owner'")
+        self.owner_chunk_blocks = owner_chunk_blocks
         # one admission wave (and ONE prefill program) per mix bucket even
         # for mixed se/tse/rtse traffic: enroll-less requests ride the
         # with-enroll program with zero enroll rows that the head-compaction
@@ -369,14 +384,28 @@ class ContinuousBatchingEngine:
         max_prompt = 3 + self.enroll_buckets[-1] + self.mix_buckets[-1]
         max_tokens = max_prompt + max_global + 1 + max_semantic + 1
         self.max_blocks = math.ceil(max_tokens / block_size)
+        owner = self.use_flash_kernel == "owner"
+        # region size for owner-mode contiguous allocation: the kernel
+        # reads ceil(max_blocks/c) chunks of c blocks per slot, so regions
+        # are that many blocks and every slot's range stays in-pool
+        self._region_blocks = (
+            -(-self.max_blocks // owner_chunk_blocks) * owner_chunk_blocks)
         if num_blocks is None:
-            # +1 trash block, then rounded to the 64-block bucket
-            # granularity: the decode bound (_block_bound) is then always a
-            # 64-multiple, which the Pallas stream kernel needs to chunk
-            # evenly (chunk*block_size must tile to 128 lanes); the spare
-            # blocks are allocator headroom. An explicit num_blocks is
-            # honored as-is (the kernel raises on incompatible bounds).
-            num_blocks = -(-(1 + num_slots * self.max_blocks) // 64) * 64
+            if owner:
+                # one region per slot + the reserved trash region + one
+                # spare, rounded to the 64-block granularity shared-pool
+                # stream engines need
+                num_blocks = -(-((num_slots + 2)
+                                 * self._region_blocks) // 64) * 64
+            else:
+                # +1 trash block, then rounded to the 64-block bucket
+                # granularity: the decode bound (_block_bound) is then
+                # always a 64-multiple, which the Pallas stream kernel
+                # needs to chunk evenly (chunk*block_size must tile to 128
+                # lanes); the spare blocks are allocator headroom. An
+                # explicit num_blocks is honored as-is (the kernel raises
+                # on incompatible bounds).
+                num_blocks = -(-(1 + num_slots * self.max_blocks) // 64) * 64
         self.num_blocks = num_blocks
 
         if pool_ref is not None:
@@ -399,7 +428,25 @@ class ContinuousBatchingEngine:
             self._pool_ref = PoolRef(
                 init_pool(cfg, num_blocks, block_size, dtype=self.kv_dtype,
                           quant=kv_quant))
-            self.allocator = allocator or BlockAllocator(num_blocks)
+            if allocator is None:
+                allocator = (RegionAllocator(num_blocks, self._region_blocks)
+                             if owner else BlockAllocator(num_blocks))
+            self.allocator = allocator
+        if owner:
+            # the owner kernel's contiguity/alignment/in-pool invariants
+            # are the RegionAllocator's contract — enforce the pairing
+            if not isinstance(self.allocator, RegionAllocator):
+                raise ValueError(
+                    "use_flash_kernel='owner' requires a RegionAllocator "
+                    "(contiguous chunk-aligned per-slot block ranges)")
+            ra = self.allocator
+            if (ra.region_blocks % owner_chunk_blocks
+                    or ra.region_blocks < self._region_blocks):
+                raise ValueError(
+                    f"owner kernel: allocator regions ({ra.region_blocks} "
+                    f"blocks) must be a multiple of owner_chunk_blocks "
+                    f"({owner_chunk_blocks}) and cover max_blocks "
+                    f"({self.max_blocks})")
         self._slot_blocks: List[List[int]] = [[] for _ in range(num_slots)]
         self._uids: List[Optional[int]] = [None] * num_slots
         self._phase_cache: Optional[np.ndarray] = None
@@ -539,6 +586,7 @@ class ContinuousBatchingEngine:
                 cfg, lm_params, pool, state["block_tables"], state["index"],
                 active, state["last_ids"], bs, num_active_blocks=nb,
                 use_kernel=self.use_flash_kernel,
+                owner_chunk_blocks=self.owner_chunk_blocks,
             )  # (S, V) fp32
 
             mask = jnp.where(
@@ -1054,9 +1102,12 @@ class ContinuousBatchingEngine:
                 need_tokens = max(
                     la, true_total + r.global_length + 1 + r.semantic_length)
                 n_blk = math.ceil(need_tokens / self.block_size)
-                if n_blk <= budget:
+                # region allocators consume a whole region per request —
+                # budget math must charge actual consumption
+                cost = self.allocator.block_cost(n_blk)
+                if cost <= budget:
                     fitting.append((r, n_blk, true_total))
-                    budget -= n_blk
+                    budget -= cost
             if not fitting:
                 continue
 
@@ -1245,7 +1296,12 @@ class ContinuousBatchingEngine:
 
     def _block_bound(self) -> int:
         """Static decode-read prefix bound (allocator-bucketed; see
-        BlockAllocator.bounded_high_water)."""
+        BlockAllocator.bounded_high_water). Owner-kernel mode attends each
+        slot over its own region only — the bound is irrelevant to the
+        step, so a CONSTANT keeps the (n, nb) program cache at one entry
+        per n (no bucket-crossing recompiles)."""
+        if self.use_flash_kernel == "owner":
+            return self.num_blocks
         return self.allocator.bounded_high_water()
 
     def step(self, n: int = 1, nb: Optional[int] = None):

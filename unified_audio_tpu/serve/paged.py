@@ -33,7 +33,9 @@ import jax.numpy as jnp
 
 from ..models.lm.llama import NEG_INF, LlamaConfig
 from ..nn.transformer import apply_rope, rope_cos_sin
-from ..ops.pallas.paged_attention import (paged_flash_decode_stream_flat,
+from ..ops.pallas.paged_attention import (paged_flash_decode_owner,
+                                          paged_flash_decode_owner_q8,
+                                          paged_flash_decode_stream_flat,
                                           paged_flash_decode_stream_flat_q8,
                                           visibility_mask)
 
@@ -126,6 +128,98 @@ class BlockAllocator:
         b = -(-self.high_water() // bucket) * bucket
         return min(b, self.num_blocks)
 
+    def block_cost(self, n: int) -> int:
+        """Blocks actually consumed by alloc(n) — admission budget math
+        must charge THIS, not n (the RegionAllocator rounds up)."""
+        return n
+
+
+class RegionAllocator:
+    """Contiguous region-granular allocator for the OWNER-mode decode kernel
+    (ops/pallas/paged_attention.py paged_flash_decode_owner).
+
+    The pool is carved into fixed regions of ``region_blocks`` blocks;
+    ``alloc(n)`` hands out the first ``n`` blocks of a whole free region, so
+    every slot's block range is contiguous, chunk-aligned, and fully
+    in-pool — the three invariants the owner kernel's clamped chunk DMAs
+    rely on. Region 0 contains the reserved trash block (block 0) and is
+    never allocated. LOW-FIRST region policy mirrors BlockAllocator so
+    ``high_water()`` still bounds the allocated prefix for any engine on
+    the same pool that reads bounded prefixes (stream/XLA paths).
+
+    Same interface as BlockAllocator (``free``/``alloc``/``release``/
+    ``high_water``/``bounded_high_water``/``block_cost``); engines charge
+    ``block_cost(n)`` = a full region against their admission budget."""
+
+    def __init__(self, num_blocks: int, region_blocks: int):
+        import heapq
+
+        self._heapq = heapq
+        if region_blocks < 1:
+            raise ValueError("region_blocks must be >= 1")
+        self.num_blocks = num_blocks
+        self.region_blocks = region_blocks
+        self.num_regions = num_blocks // region_blocks
+        if self.num_regions < 2:
+            raise ValueError(
+                f"pool of {num_blocks} blocks holds "
+                f"{self.num_regions} regions of {region_blocks}; need >= 2 "
+                "(region 0 is reserved for the trash block)")
+        self._free_regions: List[int] = list(range(1, self.num_regions))
+        self._heapq.heapify(self._free_regions)
+        self._allocated_regions: set = set()
+
+    @property
+    def free(self) -> List[int]:
+        """Free blocks (whole free regions), BlockAllocator-compatible:
+        engines budget with ``len(allocator.free)`` and charge
+        ``block_cost`` per admission."""
+        r_blocks = self.region_blocks
+        return [r * r_blocks + i for r in self._free_regions
+                for i in range(r_blocks)]
+
+    def block_cost(self, n: int) -> int:
+        if n > self.region_blocks:
+            raise ValueError(
+                f"request of {n} blocks exceeds the region size "
+                f"{self.region_blocks}")
+        return self.region_blocks
+
+    def alloc(self, n: int) -> List[int]:
+        self.block_cost(n)  # validates n
+        if not self._free_regions:
+            raise RuntimeError(
+                f"KV pool exhausted: need a region, 0 of "
+                f"{self.num_regions - 1} free")
+        r = self._heapq.heappop(self._free_regions)
+        self._allocated_regions.add(r)
+        base = r * self.region_blocks
+        return [base + i for i in range(n)]
+
+    def release(self, blocks: List[int]):
+        if not blocks:
+            return
+        r = int(blocks[0]) // self.region_blocks
+        if r not in self._allocated_regions:
+            raise ValueError(f"release of unallocated region {r}")
+        base = r * self.region_blocks
+        for b in blocks:
+            if not base <= int(b) < base + self.region_blocks:
+                raise ValueError(
+                    f"block {b} outside region {r}'s range "
+                    f"[{base}, {base + self.region_blocks})")
+        self._allocated_regions.discard(r)
+        self._heapq.heappush(self._free_regions, r)
+
+    def high_water(self) -> int:
+        if not self._allocated_regions:
+            return 1
+        return (max(self._allocated_regions) + 1) * self.region_blocks
+
+    def bounded_high_water(self, bucket: int = 64) -> int:
+        b = -(-self.high_water() // bucket) * bucket
+        return min(b, self.num_blocks)
+
 
 def _rms(x, weight, eps=1e-6):
     var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
@@ -135,7 +229,7 @@ def _rms(x, weight, eps=1e-6):
 def paged_decode_ids(cfg: LlamaConfig, lm_params, pool, tables, index, active,
                      ids, block_size: int,
                      num_active_blocks: Optional[int] = None,
-                     use_kernel: bool = False):
+                     use_kernel=False, owner_chunk_blocks: int = 8):
     """One batched decode step over the paged pool, per-slot cache positions.
 
     lm_params: the CodecLM param subtree (codec_embedding / backbone /
@@ -158,7 +252,7 @@ def paged_decode_ids(cfg: LlamaConfig, lm_params, pool, tables, index, active,
     hidden, pool = paged_decode_embeds(
         cfg, lm_params["backbone"], pool, tables, index, active, x,
         block_size, num_active_blocks=num_active_blocks,
-        use_kernel=use_kernel)
+        use_kernel=use_kernel, owner_chunk_blocks=owner_chunk_blocks)
     logits = (hidden @ lm_params["output_head"]["kernel"]).astype(jnp.float32)
     return logits, pool
 
@@ -166,7 +260,7 @@ def paged_decode_ids(cfg: LlamaConfig, lm_params, pool, tables, index, active,
 def paged_decode_embeds(cfg: LlamaConfig, backbone_params, pool, tables,
                         index, active, x, block_size: int,
                         num_active_blocks: Optional[int] = None,
-                        use_kernel: bool = False):
+                        use_kernel=False, owner_chunk_blocks: int = 8):
     """Embedding-level paged decode step: the shared backbone machinery
     behind paged_decode_ids, factored out so OTHER head/embedding schemes
     (UniTok's K summed code embeddings + K parallel heads,
@@ -182,14 +276,23 @@ def paged_decode_embeds(cfg: LlamaConfig, backbone_params, pool, tables,
     pool, so the bound never corrupts state — a too-small bound only masks
     out-of-range keys (callers must pass bound >= allocator.high_water()).
 
-    ``use_kernel`` routes the attention through the Pallas full-stream
-    flash-decode kernel (ops/pallas/paged_attention.py
-    paged_flash_decode_stream_flat): the pool prefix streams through VMEM
-    in multi-block chunks at measured ~540 GB/s vs ~140 GB/s for the XLA
+    ``use_kernel`` routes the attention through a Pallas flash-decode
+    kernel (ops/pallas/paged_attention.py). ``True`` / ``"stream"``: the
+    full-stream kernel — the pool prefix streams through VMEM in
+    multi-block chunks at measured ~540 GB/s vs ~140 GB/s for the XLA
     einsum at 32-slot widths (the XLA path materializes (S, NB*BS) fp32
-    logits per layer). Off-TPU the kernel runs in interpret mode
-    (tests pin kernel == XLA equality).
+    logits per layer). ``"owner"``: the ownership-aware kernel — REQUIRES
+    contiguous ``owner_chunk_blocks``-aligned per-slot block ranges (the
+    RegionAllocator's contract) and computes each slot only against its
+    own blocks (the stream kernel is VPU-bound on every-slot-times-
+    every-key flash work; step time also becomes independent of pool
+    capacity, so ``num_active_blocks`` is ignored). Off-TPU the kernels
+    run in interpret mode (tests pin kernel == XLA equality).
     """
+    mode = use_kernel if isinstance(use_kernel, str) else (
+        "stream" if use_kernel else "")
+    if mode not in ("", "stream", "owner"):
+        raise ValueError(f"unknown kernel mode {mode!r}")
     layers = backbone_params["layers"]
     bs = block_size
     s_slots, max_blocks = tables.shape
@@ -207,18 +310,28 @@ def paged_decode_embeds(cfg: LlamaConfig, backbone_params, pool, tables,
     # the pool is read once, nothing is copied). lmap[s, n] = logical block
     # index of physical block n in slot s's table, -1 if not owned; the
     # reserved trash block is never attended.
-    rows = jnp.arange(s_slots)[:, None]
-    lmap = jnp.full((s_slots, num_blocks), -1, jnp.int32).at[rows, tables].set(
-        jnp.broadcast_to(jnp.arange(max_blocks)[None], tables.shape),
-        mode="drop",
-    )
-    lmap = lmap.at[:, TRASH_BLOCK].set(-1)
-    lmap = lmap[:, :nb]  # bounded prefix (see docstring)
-    # layer-invariant int8 key visibility, built once per step (shared
-    # helper — the kernel and XLA paths must agree on the rule)
-    vis_i8 = visibility_mask(lmap, index, bs)
-    if use_kernel:
-        interp = jax.default_backend() != "tpu"
+    interp = jax.default_backend() != "tpu"
+    if mode == "owner":
+        # contiguity contract: slot s owns blocks [tables[s,0],
+        # tables[s,0]+n) with a chunk-aligned start — the RegionAllocator's
+        # invariant. Inactive slots mask everything via index = -1.
+        start = tables[:, 0]
+        own_index = jnp.where(active, index, -1)
+        oc = owner_chunk_blocks
+        o_mc = -(-max_blocks // oc)
+    else:
+        rows = jnp.arange(s_slots)[:, None]
+        lmap = jnp.full((s_slots, num_blocks), -1,
+                        jnp.int32).at[rows, tables].set(
+            jnp.broadcast_to(jnp.arange(max_blocks)[None], tables.shape),
+            mode="drop",
+        )
+        lmap = lmap.at[:, TRASH_BLOCK].set(-1)
+        lmap = lmap[:, :nb]  # bounded prefix (see docstring)
+        # layer-invariant int8 key visibility, built once per step (shared
+        # helper — the kernel and XLA paths must agree on the rule)
+        vis_i8 = visibility_mask(lmap, index, bs)
+    if mode == "stream":
         # chunk*block_size must be a 128-lane multiple for the visibility
         # tile (Mosaic); engines keep pool capacity (and thus every bound)
         # a 64-block multiple so a valid chunk always exists on TPU
@@ -228,7 +341,7 @@ def paged_decode_embeds(cfg: LlamaConfig, backbone_params, pool, tables,
                 f"stream kernel: largest chunk dividing the block bound "
                 f"({nb}) gives chunk*block_size ({chunk * bs}) that is not "
                 "a 128-lane multiple; size the pool to a 64-block multiple")
-    else:
+    elif not mode:
         mask = jnp.where(vis_i8 != 0, 0.0, NEG_INF).reshape(
             s_slots, 1, 1, nb * bs)
 
@@ -277,7 +390,28 @@ def paged_decode_embeds(cfg: LlamaConfig, backbone_params, pool, tables,
         v_pool = v_pool.at[li, blk, off].set(
             v_rows.astype(v_pool.dtype), unique_indices=unique_scatter)
         p = {**p, "k": k_pool, "v": v_pool}
-        if use_kernel:
+        if mode == "owner":
+            if quant:
+                # int8 pool + owner kernel: the owner formulation is
+                # DMA-bound (the stream kernel was VPU-bound), so halving
+                # pool bytes halves the decode floor here — the layer's
+                # scales slice outside the kernel like the q8 stream path
+                attn = paged_flash_decode_owner_q8(
+                    q[:, 0], k_pool, v_pool,
+                    jax.lax.dynamic_index_in_dim(
+                        p["k_scale"], li, 0, keepdims=False),
+                    jax.lax.dynamic_index_in_dim(
+                        p["v_scale"], li, 0, keepdims=False),
+                    start, own_index, li,
+                    num_heads=h, chunk_blocks=oc, max_chunks=o_mc,
+                    interpret=interp)
+            else:
+                attn = paged_flash_decode_owner(
+                    q[:, 0], k_pool, v_pool, start, own_index, li,
+                    num_heads=h, chunk_blocks=oc, max_chunks=o_mc,
+                    interpret=interp)  # (S, H, hd)
+            attn = attn.reshape(s_slots, 1, h * hd).astype(x.dtype)
+        elif mode == "stream":
             if quant:
                 # the layer's scales slice here (tiny; XLA fuses the
                 # dynamic slice) — the kernel's scale tiles must be blocks

@@ -40,7 +40,8 @@ import jax.numpy as jnp
 from ..models.lm.llama import init_cache, sample_logits_vec
 from ..models.unitok.model import UniTokLM
 from .engine import _pick_bucket
-from .paged import (TRASH_BLOCK, BlockAllocator, init_pool,
+from .paged import (TRASH_BLOCK, BlockAllocator, RegionAllocator,
+                    init_pool,
                     paged_decode_embeds, scatter_prefill)
 
 
@@ -91,7 +92,8 @@ class UniTokEngine:
         pool_ref=None,
         allocator: Optional[BlockAllocator] = None,
         dtype=None,
-        use_flash_kernel: Optional[bool] = None,
+        use_flash_kernel=None,
+        owner_chunk_blocks: int = 16,
         eager_drain: bool = False,
         kv_quant: Optional[str] = None,
     ):
@@ -118,13 +120,26 @@ class UniTokEngine:
         self.feat_buckets = tuple(sorted(feat_buckets))
         self.max_top_k = max_top_k
         self.max_steps = max_frames + self.K - 1
+        # kernel-mode policy mirrors ContinuousBatchingEngine: "owner"
+        # (default on TPU, RegionAllocator-paired), "stream", or False
         if use_flash_kernel is None:
-            use_flash_kernel = jax.default_backend() == "tpu"
-        self.use_flash_kernel = use_flash_kernel
+            use_flash_kernel = (
+                "owner" if jax.default_backend() == "tpu" else False)
+        if use_flash_kernel is True:
+            use_flash_kernel = "stream"
+        self.use_flash_kernel = use_flash_kernel or ""
+        if self.use_flash_kernel not in ("", "stream", "owner"):
+            raise ValueError(
+                f"use_flash_kernel={use_flash_kernel!r}: expected None, "
+                "bool, 'stream' or 'owner'")
+        self.owner_chunk_blocks = owner_chunk_blocks
+        owner = self.use_flash_kernel == "owner"
 
         max_prompt = 5 + 3 * self.feat_buckets[-1]
         max_tokens = max_prompt + self.max_steps + 1
         self.max_blocks = math.ceil(max_tokens / block_size)
+        self._region_blocks = (
+            -(-self.max_blocks // owner_chunk_blocks) * owner_chunk_blocks)
         self.lcfg = cfg.llama_config  # shared with UniTokLM.setup
         if pool_ref is not None:
             assert allocator is not None, "shared pool needs its allocator"
@@ -140,7 +155,12 @@ class UniTokEngine:
         else:
             if num_blocks is None:
                 # 64-block bucket granularity (see ContinuousBatchingEngine)
-                num_blocks = -(-(1 + num_slots * self.max_blocks) // 64) * 64
+                if owner:
+                    num_blocks = -(-((num_slots + 2)
+                                     * self._region_blocks) // 64) * 64
+                else:
+                    num_blocks = -(-(1 + num_slots
+                                     * self.max_blocks) // 64) * 64
             self.num_blocks = num_blocks
             from .paged import PoolRef
 
@@ -148,7 +168,23 @@ class UniTokEngine:
             self._pool_ref = PoolRef(init_pool(
                 self.lcfg, num_blocks, block_size, dtype=self.kv_dtype,
                 quant=kv_quant))
-            self.allocator = allocator or BlockAllocator(num_blocks)
+            if allocator is None:
+                allocator = (RegionAllocator(num_blocks, self._region_blocks)
+                             if owner else BlockAllocator(num_blocks))
+            self.allocator = allocator
+        if owner:
+            if not isinstance(self.allocator, RegionAllocator):
+                raise ValueError(
+                    "use_flash_kernel='owner' requires a RegionAllocator "
+                    "(contiguous chunk-aligned per-slot block ranges)")
+            ra = self.allocator
+            if (ra.region_blocks % owner_chunk_blocks
+                    or ra.region_blocks < self._region_blocks):
+                raise ValueError(
+                    f"owner kernel: allocator regions ({ra.region_blocks} "
+                    f"blocks) must be a multiple of owner_chunk_blocks "
+                    f"({owner_chunk_blocks}) and cover max_blocks "
+                    f"({self.max_blocks})")
 
         s = num_slots
         self.state = {
@@ -271,7 +307,8 @@ class UniTokEngine:
             hidden, pool = paged_decode_embeds(
                 self.lcfg, backbone_params, pool, state["block_tables"],
                 state["index"], active, x, bs, num_active_blocks=nb,
-                use_kernel=self.use_flash_kernel)
+                use_kernel=self.use_flash_kernel,
+                owner_chunk_blocks=self.owner_chunk_blocks)
             logits = jnp.einsum(
                 "sd,kdv->skv", hidden, heads.astype(hidden.dtype)
             ).astype(jnp.float32)  # (S, K, V)
@@ -407,7 +444,7 @@ class UniTokEngine:
             # prompt length = 1 task + (sep + bucket per segment) + final sep
             plen = 1 + sum(1 + b for b in sig if b is not None) + 1
             need = math.ceil((plen + steps + 1) / self.block_size)
-            if need > len(self.allocator.free):
+            if self.allocator.block_cost(need) > len(self.allocator.free):
                 break
             blocks = self.allocator.alloc(need)
             s = slots.pop(0)
@@ -486,7 +523,10 @@ class UniTokEngine:
     def _block_bound(self) -> int:
         """Static decode-read prefix bound; with a SHARED allocator the
         bound covers both engines' blocks (BlockAllocator.bounded_high_water
-        keeps the bucket granularity consistent across engines)."""
+        keeps the bucket granularity consistent across engines). Owner mode
+        ignores the bound — a constant keeps one compiled program per n."""
+        if self.use_flash_kernel == "owner":
+            return self.num_blocks
         return self.allocator.bounded_high_water()
 
     def step(self, n: int = 1) -> None:
