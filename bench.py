@@ -189,8 +189,9 @@ def main():
     unise_tok_s = b * (33 + 250) / lm_dt
 
     # serving headline: sustained mixed-task tokens/s through the paged
-    # continuous-batching engine (Pallas full-stream flash decode kernel;
-    # the round-3 scaling-wall fix). 128 mixed SE/TSE/rTSE requests.
+    # continuous-batching engine (Pallas flash decode kernel — whichever
+    # variant the engine defaults to on TPU; see serve/engine.py).
+    # 128 mixed SE/TSE/rTSE requests.
     from unified_audio_tpu.serve.engine import (ContinuousBatchingEngine,
                                                 Request)
 

@@ -257,6 +257,106 @@ class TestEngine:
                 np.asarray(eager[uid].semantic_ids),
                 np.asarray(deferred[uid].semantic_ids))
 
+    def test_link_degradation_detector(self, setup):
+        """_link_degraded flips once the rolling median dispatch wall passes
+        the threshold, and stats() exposes the diagnostic."""
+        cfg, sft, params, rng = setup
+        eng = make_engine(sft, params, degraded_dispatch_ms=25.0)
+        assert not eng._link_degraded()  # empty window
+        eng._dispatch_walls.extend([0.001] * 8)
+        assert not eng._link_degraded()  # healthy: ~1 ms enqueue
+        assert eng.stats()["link_degraded"] is False
+        eng._dispatch_walls.extend([0.07] * 32)  # relay stopped pipelining
+        assert eng._link_degraded()
+        st = eng.stats()
+        assert st["link_degraded"] is True
+        assert st["dispatch_ms_median"] > 25.0
+        eng2 = make_engine(sft, params, link_adapt=False)
+        eng2._dispatch_walls.extend([0.07] * 32)
+        assert not eng2._link_degraded()
+
+    def test_throttled_link_coarse_mode(self, setup):
+        """Degraded-link adaptation (docs/PERFORMANCE.md "third failure
+        mode"): with every step dispatch sleep-throttled (the relay's
+        stopped-pipelining signature), the coarse decomposition must (a)
+        produce token-identical results, (b) issue strictly fewer step
+        dispatches, (c) keep >=60% of the un-throttled throughput where
+        the un-adapted engine falls well below it."""
+        import time as _time
+
+        cfg, sft, params, rng = setup
+        # popcount-heavy decode lengths: exact decomposition needs several
+        # dispatches per completion segment. Lengths are sized so device
+        # work per dispatch is realistic relative to the injected RTT —
+        # the real failure mode is ~70 ms blocking dispatches against
+        # hundreds of ms of decode work.
+        lengths = [(4, 55), (3, 59), (4, 45), (2, 61), (4, 53), (3, 47),
+                   (4, 57), (2, 51)]
+        feats = [rng.standard_normal((10, 12)).astype(np.float32)
+                 for _ in lengths]
+
+        def reqs(base):
+            return [Request(task_id=0, mix_feats=feats[i],
+                            global_length=g, semantic_length=s,
+                            do_sample=False, uid=base + i)
+                    for i, (g, s) in enumerate(lengths)]
+
+        def toks(res, base):
+            return [(np.asarray(res[base + i].global_ids),
+                     np.asarray(res[base + i].semantic_ids))
+                    for i in range(len(lengths))]
+
+        def throttle(eng, seconds):
+            orig = eng._step_n
+
+            def slow(*a, **kw):
+                _time.sleep(seconds)
+                return orig(*a, **kw)
+
+            eng._step_n = slow
+
+        def timed_run(eng, base):
+            eng.run(reqs(base), jax.random.PRNGKey(0))  # warm compile
+            d0 = eng.stats()["step_dispatches"]
+            t0 = _time.perf_counter()
+            res = eng.run(reqs(base + 50), jax.random.PRNGKey(0))
+            wall = _time.perf_counter() - t0
+            return (toks(res, base + 50), wall,
+                    eng.stats()["step_dispatches"] - d0)
+
+        sleep = 0.01
+        kw = dict(max_semantic=64)
+        # idle control
+        eng_idle = make_engine(sft, params, **kw)
+        tok_idle, wall_idle, disp_idle = timed_run(eng_idle, 300)
+        # throttled, adaptation ON. Threshold 0 + a primed window => coarse
+        # from the first wave, so the warm run compiles the SAME coarse
+        # chunk programs the timed run uses.
+        eng_ad = make_engine(sft, params, degraded_dispatch_ms=0.0, **kw)
+        eng_ad._dispatch_walls.extend([1.0] * 8)
+        throttle(eng_ad, sleep)
+        tok_ad, wall_ad, disp_ad = timed_run(eng_ad, 400)
+        # throttled, adaptation OFF
+        eng_off = make_engine(sft, params, link_adapt=False, **kw)
+        throttle(eng_off, sleep)
+        tok_off, wall_off, disp_off = timed_run(eng_off, 500)
+
+        # (a) token-identical across all three
+        for (gi, si), (ga, sa), (go, so) in zip(tok_idle, tok_ad, tok_off):
+            np.testing.assert_array_equal(gi, ga)
+            np.testing.assert_array_equal(si, sa)
+            np.testing.assert_array_equal(gi, go)
+            np.testing.assert_array_equal(si, so)
+        # (b) coarse mode fired and cut dispatches
+        assert eng_ad.stats()["coarse_chunks"] > 0
+        assert disp_ad < disp_off
+        assert disp_off == disp_idle  # un-adapted decomposition unchanged
+        # (c) throughput: same tokens, so walls compare directly. The
+        # adapted run must stay >=60% of idle where the un-adapted run
+        # pays sleep * popcount-many dispatches.
+        assert wall_ad < wall_off
+        assert wall_idle / wall_ad >= 0.6, (wall_idle, wall_ad, wall_off)
+
     def test_cancel_mid_flight(self, setup):
         """Cancelling one request frees its slot/blocks and does not perturb
         the surviving request's greedy output."""

@@ -36,6 +36,55 @@ The torch twin lives in tests/reference_loader.py (same recipe as the other
 golden shims) and ``utils.convert.convert_sensevoice`` maps the funasr
 state-dict layout (``encoder.encoders0.0.self_attn.linear_q_k_v.weight``,
 ``encoder.encoders.{i}...``, ``encoder.tp_encoders.{i}...``, ``embed.weight``).
+
+Adversarial re-read vs funasr's published source (round 5; the twin is
+builder-authored, so each detail below was re-derived from upstream rather
+than from the twin — hunting a SHARED misreading):
+
+* ``SinusoidalPositionEncoder`` (funasr/models/transformer/embedding.py,
+  ``encode``/``forward``): positions ``torch.arange(1, T+1)`` — start at 1,
+  CONFIRMED; ``log_timescale_increment = log(10000)/(depth/2 - 1)`` with
+  depth = input dim (560), i.e. the 280-timescale table divides by 279,
+  CONFIRMED (both sides use ``half - 1``); layout ``cat([sin, cos], dim)``
+  halves concatenated (not interleaved), CONFIRMED; PE is ADDED after the
+  ``x * sqrt(output_size)`` scale (SenseVoiceEncoderSmall.forward scales by
+  OUTPUT size 512 even though x is still 560-dim — both sides reproduce
+  this), CONFIRMED. Deviation kept: funasr computes the table in the input
+  dtype (fp32); both sides here use fp64 and cast, which is ~1e-6 MORE
+  accurate than upstream — harmless at bf16/fp32 inference tolerances.
+* Query-id table (funasr/models/sense_voice/model.py SenseVoiceSmall):
+  ``embed = nn.Embedding(7 + len(lid_dict) + len(textnorm_dict), input_size)``
+  = 16 rows, CONFIRMED; inference() concatenates
+  [language_query, event_emo_query([1, 2]), textnorm_query] before the
+  audio, so ids = [lang, 1, 2, textnorm], CONFIRMED; lid_dict["auto"] = 0,
+  textnorm_dict = {"withitn": 14, "woitn": 15}, CONFIRMED. RESIDUAL RISK:
+  the reference reaches ``prepend_inputs`` through DualCodec's funasr fork
+  (not in this image) — whether its default textnorm id is 15 ("woitn",
+  assumed here) or 14 cannot be pinned without that source; both are one
+  config knob (``SANMConfig.textnorm_id``) if real weights disagree.
+* FSMN pad/mask order (funasr/models/sanm/attention.py
+  MultiHeadedAttentionSANM.forward_fsmn): v is masked BEFORE the conv, the
+  residual adds the MASKED inputs (``x += inputs`` after
+  ``inputs = inputs * mask``), output re-masked, CONFIRMED in that order;
+  pad ``left = (k-1)//2`` with ``if sanm_shfit > 0: left += sanm_shfit``,
+  ``right = k-1-left``, conv ``groups=n_feat, bias=False``, CONFIRMED
+  (this module adds the shift unconditionally — identical at the
+  SenseVoice config's shift 0; upstream ignores a NEGATIVE shift).
+  Attention mask: key-only ``mask.unsqueeze(1).eq(0)`` masked_fill with
+  finfo.min, softmax, then re-zero — CONFIRMED (query rows unmasked
+  upstream too; padded-row outputs are garbage both sides and stripped by
+  lengths downstream).
+* 560 -> 512 no-residual rule (funasr/models/sanm/encoder.py
+  EncoderLayerSANM.forward): attention residual only when
+  ``in_size == size``; norm1 is LayerNorm(in_size) (560 on encoders0),
+  norm2 LayerNorm(size); FFN residual unconditional — all CONFIRMED.
+  encoders0 attention takes ``in_feat=input_size, n_feat=output_size``
+  (qkv Linear 560 -> 3*512), CONFIRMED.
+* RESIDUAL RISK (non-default path only): ``hiddens`` for list-form
+  ``semantic_layer_idx`` is reconstructed as the 50 pre-after_norm trunk
+  outputs; the DualCodec fork's exact ``extract_hidden`` collection order
+  is unverifiable here. The reference's shipped default
+  (``semantic_layer_idx=None`` -> ``hidden_out[:, 4:]``) does not touch it.
 """
 from __future__ import annotations
 

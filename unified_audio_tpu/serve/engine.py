@@ -54,6 +54,7 @@ from __future__ import annotations
 
 import math
 import time
+from collections import deque
 from dataclasses import dataclass, replace
 from functools import partial
 from typing import Dict, List, Optional, Sequence
@@ -220,6 +221,8 @@ class ContinuousBatchingEngine:
         fuse_frontend: bool = False,
         eager_drain: bool = False,
         kv_quant: Optional[str] = None,
+        link_adapt: bool = True,
+        degraded_dispatch_ms: float = 25.0,
     ):
         """``feature_fn(feature_params, wav (B, N)) -> (B, F, D)`` enables
         waveform admission (Request.mix_wav): the SSL frontend runs batched
@@ -268,7 +271,23 @@ class ContinuousBatchingEngine:
         True: once per wave, right after the first decode chunk of the
         next wave is dispatched — overlaps the fetch with decode when the
         link allows it, and bounds host memory for unbounded request
-        streams. Results are identical; only fetch timing changes."""
+        streams. Results are identical; only fetch timing changes.
+
+        ``link_adapt`` (default True) makes ``run()`` degrade gracefully on
+        a degraded link (docs/PERFORMANCE.md "third failure mode": the
+        relay intermittently stops pipelining dispatches, so every step
+        dispatch blocks ~RTT instead of enqueueing asynchronously).
+        ``step()`` records per-dispatch wall times; once their median
+        exceeds ``degraded_dispatch_ms``, run() switches to a COARSE step
+        decomposition — one power-of-two dispatch per completion segment
+        (rounding the segment UP) instead of the popcount-many exact
+        decomposition. Overshoot is exactly correct: the in-graph phase
+        machinery no-ops finished slots (KV scatters route to the trash
+        block, outputs/state freeze), so overshot steps keep decoding the
+        OTHER live slots — the only cost is admissions landing at the
+        overshot boundary. Overshoot is gated to never exceed the longest
+        live request, and the chunk sizes stay in the same pow2 program
+        set (no new compiles). Results are bit-identical either way."""
         self.sft = sft
         self.cfg = cfg = sft.cfg
         if dtype is not None:
@@ -293,7 +312,8 @@ class ContinuousBatchingEngine:
         # independent of pool capacity; "stream" = round-3 full-stream
         # kernel (every slot against the whole bounded pool prefix,
         # measured VPU-bound at 16+ slots); False = XLA einsum attention.
-        # int8 pools route onto the stream kernel (owner has no q8 path).
+        # int8 pools ride the matching q8 kernel variant on either path
+        # (serve/paged.py routes owner+int8 onto paged_flash_decode_owner_q8).
         # Interpret-mode-correct off-TPU but slow — tests opt in
         # explicitly.
         if use_flash_kernel is None:
@@ -684,7 +704,14 @@ class ContinuousBatchingEngine:
             "step_dispatches": 0,
             "prefill_waves": 0,
             "stash_fetches": 0,
+            "coarse_chunks": 0,
         }
+        # degraded-link adaptation (see __init__ docstring): rolling window
+        # of step-dispatch wall times; when the median inflates past the
+        # threshold, run() coarsens its step decomposition
+        self.link_adapt = link_adapt
+        self.degraded_dispatch_ms = degraded_dispatch_ms
+        self._dispatch_walls: deque = deque(maxlen=32)
 
     # --- host-side API ---
 
@@ -1238,6 +1265,10 @@ class ContinuousBatchingEngine:
             if self._uids[s] is not None and self._remaining[s] > 0)
         out["blocks_held"] = held
         out["pool_utilization"] = held / max(1, self.num_blocks - 1)
+        if self._dispatch_walls:
+            out["dispatch_ms_median"] = float(
+                np.median(self._dispatch_walls)) * 1e3
+        out["link_degraded"] = self._link_degraded()
         return out
 
     def cancel(self, uid: int) -> bool:
@@ -1294,6 +1325,14 @@ class ContinuousBatchingEngine:
     def admit(self, req: Request, rng) -> bool:
         return bool(self.admit_many([req], rng))
 
+    def _link_degraded(self) -> bool:
+        """True when the rolling median step-dispatch wall says the link has
+        stopped pipelining (docs/PERFORMANCE.md "third failure mode")."""
+        w = self._dispatch_walls
+        if not self.link_adapt or len(w) < 8:
+            return False
+        return float(np.median(w)) * 1e3 > self.degraded_dispatch_ms
+
     def _block_bound(self) -> int:
         """Static decode-read prefix bound (allocator-bucketed; see
         BlockAllocator.bounded_high_water). Owner-kernel mode attends each
@@ -1314,8 +1353,15 @@ class ContinuousBatchingEngine:
         lm_params = self.params["params"]["lm"]
         nb = self._block_bound() if nb is None else nb
         self._stats["last_nb"] = nb
+        t0 = time.perf_counter()
         self.pool, self.state = self._step_n(lm_params, self.pool,
                                              self.state, n=n, nb=nb)
+        wall = time.perf_counter() - t0
+        # dispatch-health window: a healthy link enqueues asynchronously
+        # (~1 ms); a degraded relay blocks ~RTT per dispatch. Walls > 2 s
+        # are compiles, not link signal.
+        if wall < 2.0:
+            self._dispatch_walls.append(wall)
         self._phase_cache = None
         self._stats["decode_steps"] += n
         self._stats["step_dispatches"] += 1
@@ -1425,14 +1471,27 @@ class ContinuousBatchingEngine:
                         "any pending request)")
                 break
             remaining = min(active)
+            max_rem = max(active)
+            coarse = self._link_degraded()
             staged = not pending
             first = True
-            while remaining:
+            while remaining > 0:
                 c = min(poll_interval, 1 << (remaining.bit_length() - 1))
+                if coarse:
+                    # degraded link: ONE dispatch per segment — round the
+                    # segment UP to the next pow2 (same compiled-program
+                    # set). Finished slots no-op in-graph, so overshoot
+                    # keeps decoding the other live slots; gate it so the
+                    # overshot steps stay productive for at least one slot.
+                    up = 1 << max(remaining - 1, 0).bit_length()
+                    if remaining > 1 and up <= min(poll_interval, max_rem):
+                        c = up
+                        t["coarse_chunks"] = t.get("coarse_chunks", 0) + 1
                 t0 = clock()
                 self.step(n=c)
                 t["t_step"] += clock() - t0
-                remaining -= c
+                remaining = max(0, remaining - c)
+                max_rem -= c
                 if not staged:
                     # overlap: transfer the next wave's features while the
                     # first decode chunk executes on device
