@@ -125,13 +125,31 @@ def main():
         (32, 12, 13, 13, None, ("owner_q8", 16), "32 slots, full, OWNER "
                                                  "q8 c16"),
     ]
+    # round-5 block-diagonal head restructure sweep: c16 re-measured, c14
+    # (region = 14 = exact-fit-plus-one for the 13-block cap, ck=896 lanes),
+    # and small chunks (c2/c4) where the clamped index map SKIPS dead-tail
+    # chunk DMAs — occupancy-adaptive reads, viable only once per-chunk
+    # compute stopped dominating
+    owner2_configs = [
+        (16, 12, 13, 13, None, ("owner", 16), "16 full, OWNER c16 r5"),
+        (16, 12, 13, 13, None, ("owner", 14), "16 full, OWNER c14 r5"),
+        (16, 12, 13, 13, None, ("owner", 4), "16 full, OWNER c4 r5"),
+        (16, 12, 13, 13, None, ("owner", 2), "16 full, OWNER c2 r5"),
+        (16, 12, 13, 5, None, ("owner", 4), "16 typical, OWNER c4 r5"),
+        (16, 12, 13, 5, None, ("owner", 2), "16 typical, OWNER c2 r5"),
+        (32, 12, 13, 13, None, ("owner", 14), "32 full, OWNER c14 r5"),
+        (16, 12, 13, 13, None, ("owner_q8", 14), "16 full, OWNER q8 c14 r5"),
+        (32, 12, 13, 13, None, ("owner_q8", 14), "32 full, OWNER q8 c14 r5"),
+    ]
     which = _sys.argv[1] if len(_sys.argv) > 1 else "all"
     if which == "owner":
         configs = owner_configs
     elif which == "owner_q8":
         configs = q8_configs
+    elif which == "owner2":
+        configs = owner2_configs
     elif which == "all":
-        configs = configs + owner_configs + q8_configs
+        configs = configs + owner_configs + q8_configs + owner2_configs
     for (slots, num_layers, max_blocks, used, bound, kern, tag) in configs:
         cfg = LlamaConfig(num_layers=num_layers)
         sft = LLMSFT(cfg, num_tasks=3, feats_dim=768)

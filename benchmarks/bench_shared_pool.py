@@ -83,11 +83,12 @@ def main(num_slots: int = 16):
 
     bs = 64
     # pool sized for the LARGER per-slot footprint of the two engines, in
-    # 16-block regions (both engines default to the owner kernel on TPU):
+    # 14-block regions (both engines default to the owner kernel on TPU,
+    # c14 chunks since round 5 — exact fit for the 13-block cap):
     # UniSE 16 slots + UniTok 8 slots + trash region + spare
-    num_blocks = (num_slots + 8 + 2) * 16 + 32
+    num_blocks = (num_slots + 8 + 2) * 14 + 28
     pool_ref = PoolRef(init_pool(lcfg, num_blocks, bs, dtype=jnp.bfloat16))
-    alloc = RegionAllocator(num_blocks, 16)
+    alloc = RegionAllocator(num_blocks, 14)
 
     eng_u = ContinuousBatchingEngine(
         sft, sft_params, num_slots=num_slots, block_size=bs,

@@ -399,33 +399,60 @@ def _owner_kernel_flat(sc_ref, idx_ref, li_ref, q_ref, kpool_ref, vpool_ref,
     vis = (j < nc) & (pos <= idx)          # (1, CK)
 
     scale = hd ** -0.5
-    m_old = m_ref[:]                       # (1, H)
+    # ONE block-diagonal (H, DH) x (DH, CK) matmul replaces H sequential
+    # (1, hd) x (hd, CK) dots: the round-4 head loop — not DMA — bounded
+    # the kernel (q8 halving of streamed bytes moved the step <4%,
+    # benchmarks/RESULTS.json paged_step_owner). Row i of qbd carries
+    # q[i] at columns [i*hd, (i+1)*hd) and exact zeros elsewhere, so the
+    # full-DH contraction yields the per-head logits unchanged.
+    # Mosaic-legal construction only: no (h, h, hd) -> (h, dh) shape cast
+    # (infer-vector-layout rejects it). `pick` (hd, DH), pick[i, c] =
+    # (c % hd == i), replicates q across the h head blocks via an MXU dot;
+    # `blk` zeroes the off-diagonal blocks.
+    pick = (jax.lax.broadcasted_iota(jnp.int32, (hd, dh), 1) % hd
+            == jax.lax.broadcasted_iota(jnp.int32, (hd, dh), 0)
+            ).astype(jnp.float32)
+    blk = (jax.lax.broadcasted_iota(jnp.int32, (h, dh), 1) // hd
+           == jax.lax.broadcasted_iota(jnp.int32, (h, dh), 0)
+           ).astype(jnp.float32)
+    qbd = jax.lax.dot_general(
+        q, pick, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * blk                                # (H, DH) block-diagonal
+    m_old = m_ref[:]                       # (H, 1)
     l_old = l_ref[:]
-    for hh in range(h):
-        sl = slice(hh * hd, (hh + 1) * hd)
-        logits = jax.lax.dot_general(
-            q[hh][None], k[:, sl], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale                                          # (1, CK)
-        logits = jnp.where(vis, logits, NEG_INF)
-        m_new = jnp.maximum(m_old[:, hh], jnp.max(logits, axis=-1))
-        alpha = jnp.exp(m_old[:, hh] - m_new)
-        p = jnp.exp(logits - m_new[:, None])
-        l_new = l_old[:, hh] * alpha + jnp.sum(p, axis=-1)
-        pv = jax.lax.dot_general(
-            p, v[:, sl], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                  # (1, hd)
-        acc_ref[:, hh, :] = acc_ref[:, hh, :] * alpha[:, None] + pv
-        m_ref[:, hh] = m_new
-        l_ref[:, hh] = l_new
+    logits = jax.lax.dot_general(
+        qbd, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale                              # (H, CK)
+    logits = jnp.where(vis, logits, NEG_INF)
+    m_new = jnp.maximum(m_old, jnp.max(logits, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_old - m_new)                               # (H, 1)
+    p = jnp.exp(logits - m_new)                                  # (H, CK)
+    l_ref[:] = l_old * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    m_ref[:] = m_new
+    # accumulate the FULL (H, DH) pv: the flash recurrence is linear, so
+    # the diagonal hd-blocks of the final accumulator equal the per-head
+    # accumulators; _finish extracts them once per slot instead of paying
+    # a per-chunk reshape
+    pv = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                      # (H, DH)
+    acc_ref[0] = acc_ref[0] * alpha + pv
 
     @pl.when(j == num_j - 1)
     def _finish():
-        # fully-masked rows (inactive slots, idx < 0) emit zeros
-        out_ref[:] = (acc_ref[:]
-                      / jnp.maximum(l_ref[:], 1e-30)[:, :, None]).astype(
-            out_ref.dtype)
+        # fully-masked rows (inactive slots, idx < 0) emit zeros.
+        # Diagonal-block extraction as a fold matmul: zero the cross-head
+        # blocks, then contract DH back to hd with the same picker
+        # ((H, DH) x (DH, hd)) — no shape casts.
+        inv_l = 1.0 / jnp.maximum(l_ref[:], 1e-30)       # (H, 1)
+        outhd = jax.lax.dot_general(
+            acc_ref[0] * blk, pick, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                # (H, hd)
+        out_ref[0] = (outhd * inv_l).astype(out_ref.dtype)
 
 
 def _owner_kernel_flat_q8(sc_ref, idx_ref, li_ref, q_ref, kpool_ref,
@@ -465,32 +492,46 @@ def _owner_kernel_flat_q8(sc_ref, idx_ref, li_ref, q_ref, kpool_ref,
     vis = (j < nc) & (pos <= idx)           # (1, CK)
 
     scale = hd ** -0.5
-    m_old = m_ref[:]
+    # block-diagonal single-matmul head restructure — see
+    # _owner_kernel_flat (Mosaic-legal picker/mask construction, no shape
+    # casts); scales fold row-wise ((1, CK) broadcasts over (H, CK))
+    # exactly like the per-head formulation
+    pick = (jax.lax.broadcasted_iota(jnp.int32, (hd, dh), 1) % hd
+            == jax.lax.broadcasted_iota(jnp.int32, (hd, dh), 0)
+            ).astype(jnp.float32)
+    blk = (jax.lax.broadcasted_iota(jnp.int32, (h, dh), 1) // hd
+           == jax.lax.broadcasted_iota(jnp.int32, (h, dh), 0)
+           ).astype(jnp.float32)
+    qbd = jax.lax.dot_general(
+        q, pick, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * blk                                 # (H, DH) block-diagonal
+    m_old = m_ref[:]                        # (H, 1)
     l_old = l_ref[:]
-    for hh in range(h):
-        sl = slice(hh * hd, (hh + 1) * hd)
-        logits = jax.lax.dot_general(
-            q[hh][None], k[:, sl], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * (ksc * scale)                                  # (1, CK)
-        logits = jnp.where(vis, logits, NEG_INF)
-        m_new = jnp.maximum(m_old[:, hh], jnp.max(logits, axis=-1))
-        alpha = jnp.exp(m_old[:, hh] - m_new)
-        p = jnp.exp(logits - m_new[:, None])
-        l_new = l_old[:, hh] * alpha + jnp.sum(p, axis=-1)
-        pv = jax.lax.dot_general(
-            p * vsc, v[:, sl], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                  # (1, hd)
-        acc_ref[:, hh, :] = acc_ref[:, hh, :] * alpha[:, None] + pv
-        m_ref[:, hh] = m_new
-        l_ref[:, hh] = l_new
+    logits = jax.lax.dot_general(
+        qbd, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * (ksc * scale)                       # (H, CK)
+    logits = jnp.where(vis, logits, NEG_INF)
+    m_new = jnp.maximum(m_old, jnp.max(logits, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_old - m_new)                               # (H, 1)
+    p = jnp.exp(logits - m_new)                                  # (H, CK)
+    l_ref[:] = l_old * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    m_ref[:] = m_new
+    pv = jax.lax.dot_general(
+        p * vsc, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                       # (H, DH)
+    acc_ref[0] = acc_ref[0] * alpha + pv
 
     @pl.when(j == num_j - 1)
     def _finish():
-        out_ref[:] = (acc_ref[:]
-                      / jnp.maximum(l_ref[:], 1e-30)[:, :, None]).astype(
-            out_ref.dtype)
+        inv_l = 1.0 / jnp.maximum(l_ref[:], 1e-30)       # (H, 1)
+        outhd = jax.lax.dot_general(
+            acc_ref[0] * blk, pick, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                # (H, hd)
+        out_ref[0] = (outhd * inv_l).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit,
@@ -541,9 +582,11 @@ def paged_flash_decode_owner_q8(q, kpool, vpool, k_scale, v_scale,
             out_specs=pl.BlockSpec((1, h, hd),
                                    lambda s, j, sc, idx, l: (s, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((1, h, hd), jnp.float32),
-                pltpu.VMEM((1, num_heads), jnp.float32),
-                pltpu.VMEM((1, num_heads), jnp.float32),
+                # (H, DH) full-pv accumulator: _finish extracts the
+                # diagonal hd-blocks (block-diagonal head restructure)
+                pltpu.VMEM((1, h, dh), jnp.float32),
+                pltpu.VMEM((num_heads, 1), jnp.float32),
+                pltpu.VMEM((num_heads, 1), jnp.float32),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((s_slots, h, hd), q.dtype),
@@ -605,9 +648,11 @@ def paged_flash_decode_owner(q, kpool, vpool, start_block, index, li,
             out_specs=pl.BlockSpec((1, h, hd),
                                    lambda s, j, sc, idx, l: (s, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((1, h, hd), jnp.float32),
-                pltpu.VMEM((1, num_heads), jnp.float32),
-                pltpu.VMEM((1, num_heads), jnp.float32),
+                # (H, DH) full-pv accumulator: _finish extracts the
+                # diagonal hd-blocks (block-diagonal head restructure)
+                pltpu.VMEM((1, h, dh), jnp.float32),
+                pltpu.VMEM((num_heads, 1), jnp.float32),
+                pltpu.VMEM((num_heads, 1), jnp.float32),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((s_slots, h, hd), q.dtype),

@@ -210,7 +210,7 @@ class ContinuousBatchingEngine:
         allocator=None,
         dtype=None,
         use_flash_kernel=None,
-        owner_chunk_blocks: int = 16,
+        owner_chunk_blocks: int = 14,
         unify_waves: bool = True,
         feature_fn=None,
         feature_params=None,

@@ -93,7 +93,7 @@ class UniTokEngine:
         allocator: Optional[BlockAllocator] = None,
         dtype=None,
         use_flash_kernel=None,
-        owner_chunk_blocks: int = 16,
+        owner_chunk_blocks: int = 14,
         eager_drain: bool = False,
         kv_quant: Optional[str] = None,
     ):
