@@ -4,6 +4,10 @@ model/model.py:229-290), device-staged enrollment validation, and regular
 traffic riding the phase-1 wave."""
 import numpy as np
 import pytest
+# whole-file slow tier: 146s serial on this box (/tmp/test_timings.txt round-5 capture); the fast tier
+# (-m 'not golden and not slow') targets <10 min
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 

@@ -170,3 +170,45 @@ class TestTrainCodecCLI:
         logs = [json.loads(l) for l in out.splitlines() if l.startswith("{")]
         assert logs and "gen_loss" in logs[0]
         assert any(p.is_dir() for p in (tmp_path / "ck").iterdir())
+
+
+@pytest.mark.slow
+class TestCodecCkptWarmPath:
+    """Weights-parity package warm check (VERDICT r4 #9): `codec --ckpt`
+    must keep working end to end on a freshly EXPORTED random-weight
+    torch checkpoint — exporter -> weights.pt -> CLI torch.load ->
+    convert_hcodec10 -> tokenize/detokenize -> wav — so nothing rots
+    before the released checkpoints become reachable."""
+
+    def test_codec_ckpt_roundtrip(self, tmp_path, rng, capsys):
+        import torch
+
+        from unified_audio_tpu import cli
+        from unified_audio_tpu.models.hcodec.codec import hcodec10_config
+        from unified_audio_tpu.models.hcodec.tokenizer import HCodecTokenizer
+        from unified_audio_tpu.utils.convert_hcodec import (
+            export_hcodec10_state_dict)
+
+        cfg = hcodec10_config()  # FULL reference dims: the CLI builds these
+        tok = HCodecTokenizer.from_random(jax.random.PRNGKey(0), cfg)
+        sd = {k: torch.as_tensor(np.asarray(v)) for k, v in
+              export_hcodec10_state_dict(tok.codec_variables, cfg).items()}
+        ck = tmp_path / "weights.pt"
+        torch.save(sd, ck)
+
+        wav = (0.1 * rng.standard_normal(8000)).astype(np.float32)
+        write_wav(str(tmp_path / "in.wav"), wav, 16000)
+
+        class A:
+            model = "hcodec10"
+            input = str(tmp_path / "in.wav")
+            output = str(tmp_path / "out.wav")
+            ckpt = str(ck)
+            dtype = "float32"
+
+        cli.cmd_codec(A())
+        assert (tmp_path / "out.wav").exists()
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        rec = json.loads(out)
+        assert rec["model"] == "hcodec10"
+        assert rec["acoustic_shape"][0] == 1 and rec["acoustic_shape"][1] > 0

@@ -1,6 +1,10 @@
 """Codec GAN trainer tests on a tiny config."""
 import numpy as np
 import pytest
+# whole-file slow tier: 413s serial on this box (/tmp/test_timings.txt round-5 capture); the fast tier
+# (-m 'not golden and not slow') targets <10 min
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 

@@ -3,6 +3,10 @@ sft.generate, mixed-task pools, slot isolation, per-request sampling params,
 bucketed prompt padding, block-pool recycling, admit validation."""
 import numpy as np
 import pytest
+# whole-file slow tier: 773s serial on this box (/tmp/test_timings.txt round-5 capture); the fast tier
+# (-m 'not golden and not slow') targets <10 min
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 
@@ -324,11 +328,20 @@ class TestEngine:
             return (toks(res, base + 50), wall,
                     eng.stats()["step_dispatches"] - d0)
 
-        sleep = 0.01
         kw = dict(max_semantic=64)
         # idle control
         eng_idle = make_engine(sft, params, **kw)
         tok_idle, wall_idle, disp_idle = timed_run(eng_idle, 300)
+        # Injected RTT scaled to the measured idle wall, not a fixed
+        # constant: the >=60%-of-idle claim holds when the per-dispatch
+        # link cost is a bounded FRACTION of the decode work (on chip:
+        # ~70 ms RTT vs hundreds of ms of decode per coarse chunk). A
+        # fixed sleep against this tiny CPU model's ~microsecond steps
+        # made the bar unreachable regardless of adaptation quality and
+        # load-dependent (first seen flaking under a concurrent bench).
+        # 4% of idle per dispatch => unadapted pays ~26 x 4% (= 2x wall),
+        # adapted's floor of ~9 dispatches pays ~36%.
+        sleep = max(0.002, wall_idle * 0.04)
         # throttled, adaptation ON. Threshold 0 + a primed window => coarse
         # from the first wave, so the warm run compiles the SAME coarse
         # chunk programs the timed run uses.

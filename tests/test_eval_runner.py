@@ -1,6 +1,10 @@
 """Eval runner + domain-weighted loader tests."""
 import numpy as np
 import pytest
+# whole-file slow tier: 80s serial on this box (/tmp/test_timings.txt round-5 capture); the fast tier
+# (-m 'not golden and not slow') targets <10 min
+pytestmark = pytest.mark.slow
+
 import jax
 
 from unified_audio_tpu.data.audio_io import write_wav

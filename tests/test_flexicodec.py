@@ -5,6 +5,10 @@ test_reference_golden.py; these cover shapes, round-trip consistency and the
 distillation objective at tiny size."""
 import numpy as np
 import pytest
+# whole-file slow tier: 264s serial on this box (/tmp/test_timings.txt round-5 capture); the fast tier
+# (-m 'not golden and not slow') targets <10 min
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 

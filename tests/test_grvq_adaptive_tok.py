@@ -1,6 +1,10 @@
 """AutoGroup RVQ + adaptive tokenizer tests."""
 import numpy as np
 import pytest
+# whole-file slow tier: 76s serial on this box (/tmp/test_timings.txt round-5 capture); the fast tier
+# (-m 'not golden and not slow') targets <10 min
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 

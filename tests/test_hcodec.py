@@ -2,6 +2,10 @@
 the SSL frontend has its own tests)."""
 import numpy as np
 import pytest
+# whole-file slow tier: 181s serial on this box (/tmp/test_timings.txt round-5 capture); the fast tier
+# (-m 'not golden and not slow') targets <10 min
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 

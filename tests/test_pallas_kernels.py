@@ -1,3 +1,8 @@
+import pytest
+
+# whole-file slow tier: 132s serial on this box (/tmp/test_timings.txt round-5 capture); the fast tier
+# (-m 'not golden and not slow') targets <10 min
+pytestmark = pytest.mark.slow
 """Pallas kernels vs XLA reference paths (interpret mode on the CPU mesh)."""
 import numpy as np
 import jax

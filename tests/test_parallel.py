@@ -2,6 +2,10 @@
 matches the unsharded loss, and updates parameters."""
 import numpy as np
 import pytest
+# whole-file slow tier: 1069s serial on this box (/tmp/test_timings.txt round-5 capture); the fast tier
+# (-m 'not golden and not slow') targets <10 min
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P

@@ -186,7 +186,9 @@ class CodecGANTrainer:
                 self.disc_params, self.disc_opt_state, wav, recon
             )
         self.step += 1
-        out = {k: float(v) for k, v in metrics.items()}
-        out["gen_loss"] = float(g_loss)
-        out["disc_loss"] = float(d_loss)
-        return out
+        # ONE device_get for every scalar: per-metric float() costs a
+        # full fetch round trip each on tunnel-attached chips (~25 ms RTT,
+        # CLAUDE.md) — 6+ metrics made the host loop dominate the step
+        fetched = jax.device_get(
+            {**metrics, "gen_loss": g_loss, "disc_loss": d_loss})
+        return {k: float(v) for k, v in fetched.items()}

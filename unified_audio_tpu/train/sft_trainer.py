@@ -95,6 +95,9 @@ class SFTTrainer:
         )
         self.unise.sft_params = self.params
         self.step += 1
+        # one fetch for both scalars (each float() is its own ~25 ms round
+        # trip on tunnel-attached chips)
+        loss, acc = jax.device_get((loss, acc))
         return float(loss), float(acc)
 
 
