@@ -189,16 +189,23 @@ def main():
     unise_tok_s = b * (33 + 250) / lm_dt
 
     # serving headline: sustained mixed-task tokens/s through the paged
-    # continuous-batching engine (Pallas flash decode kernel — whichever
-    # variant the engine defaults to on TPU; see serve/engine.py).
+    # continuous-batching engine. Config = the fastest parity-pinned one:
+    # the engine's TPU-default ownership-aware kernel (owner c14, block-
+    # diagonal heads — DMA-bound, benchmarks/RESULTS.json paged_step_owner_r5)
+    # over an int8 KV pool (halves streamed KV bytes: 0.533 vs 0.768 ms
+    # attention at 16 slots full; greedy parity vs the XLA int8 path is
+    # pinned by tests/test_engine.py::test_owner_int8_pool_engine_equals_xla).
     # 128 mixed SE/TSE/rTSE requests.
     from unified_audio_tpu.serve.engine import (ContinuousBatchingEngine,
                                                 Request)
 
     num_slots, num_requests = ENGINE_SLOTS, 128
+    bench_kv = os.environ.get("BENCH_KV", "int8")  # "bf16" = A/B control
     eng = ContinuousBatchingEngine(
         sft, sft_params, num_slots=num_slots, block_size=64,
         max_global=32, max_semantic=256, mix_buckets=(256,),
+        kv_quant="int8" if (platform == "tpu" and bench_kv == "int8")
+        else None,
     )
     erng = np.random.default_rng(0)
 
@@ -308,6 +315,7 @@ def main():
             "dispatch_rtt_ms": round(dispatch_rtt_ms, 1),
             "engine_slots": num_slots,
             "engine_requests": num_requests,
+            "engine_kv": eng.kv_quant or "bf16",
         },
     }))
 

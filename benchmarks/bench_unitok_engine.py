@@ -18,7 +18,7 @@ import numpy as np
 
 
 def main(num_slots: int = 8, num_requests: int = 24, dtype: str = "bfloat16",
-         poll_interval: int = 256):
+         poll_interval: int = 256, kv_quant: str = ""):
     import jax
     import jax.numpy as jnp
 
@@ -43,6 +43,22 @@ def main(num_slots: int = 8, num_requests: int = 24, dtype: str = "bfloat16",
         np.zeros((1, 6, cfg.num_codebooks), np.int32),
     ))
 
+    # one process can sweep several slot counts (comma-separated argv[1]):
+    # each config is its own engine over the same params — avoids paying
+    # the one-TPU-process-at-a-time relay spacing per config (CLAUDE.md)
+    slot_list = (num_slots if isinstance(num_slots, (list, tuple))
+                 else [num_slots])
+    for kv in (kv_quant.split(",") if kv_quant else [""]):
+        for slots in slot_list:
+            _run_config(jax, jnp, cfg, lm, params, int(slots),
+                        num_requests, dtype, poll_interval, kv.strip())
+
+
+def _run_config(jax, jnp, cfg, lm, params, num_slots, num_requests, dtype,
+                poll_interval, kv_quant):
+    from unified_audio_tpu.serve.unitok_engine import (UniTokEngine,
+                                                       UniTokRequest)
+
     rng = np.random.default_rng(0)
     frames = 125  # 5 s at 25 Hz
     in_frames = 125
@@ -64,6 +80,7 @@ def main(num_slots: int = 8, num_requests: int = 24, dtype: str = "bfloat16",
         lm, params, num_slots=num_slots, block_size=64,
         max_frames=frames, feat_buckets=(128,),
         dtype=jnp.bfloat16 if dtype == "bfloat16" else None,
+        kv_quant=(kv_quant or None),
     )
     print(json.dumps({"stage": "warmup"}), flush=True)
     eng.run([make_request(10_000 + i) for i in range(num_slots)],
@@ -83,7 +100,7 @@ def main(num_slots: int = 8, num_requests: int = 24, dtype: str = "bfloat16",
         "num_requests": num_requests,
         "num_codebooks": cfg.num_codebooks,
         "dtype": dtype,
-        "kv": "paged (shared-pool capable)",
+        "kv": ("paged int8" if kv_quant else "paged bf16"),
         "poll_interval": poll_interval,
         "codes_per_sec": round(codes / dt, 1),
         "steps_per_sec": round(steps / dt, 1),
@@ -98,11 +115,13 @@ if __name__ == "__main__":
 
     kw = {}
     if len(sys.argv) > 1:
-        kw["num_slots"] = int(sys.argv[1])
+        kw["num_slots"] = [int(x) for x in sys.argv[1].split(",")]
     if len(sys.argv) > 2:
         kw["num_requests"] = int(sys.argv[2])
     if len(sys.argv) > 3:
         kw["dtype"] = sys.argv[3]
     if len(sys.argv) > 4:
         kw["poll_interval"] = int(sys.argv[4])
+    if len(sys.argv) > 5:
+        kw["kv_quant"] = sys.argv[5]
     main(**kw)

@@ -24,7 +24,8 @@ BENCHES = [
     ("engine_mixed_task", [sys.executable, "benchmarks/bench_engine.py",
                            "16", "128"]),
     ("unitok_engine", [sys.executable,
-                       "benchmarks/bench_unitok_engine.py", "8", "64"]),
+                       "benchmarks/bench_unitok_engine.py", "8,16,32", "64"]),
+    ("shared_pool", [sys.executable, "benchmarks/bench_shared_pool.py"]),
     ("paged_step_device", [sys.executable, "benchmarks/bench_paged_step.py"]),
     ("sft_train_step", [sys.executable, "benchmarks/bench_train_step.py"]),
     ("codec_gan_train_step",
@@ -32,24 +33,32 @@ BENCHES = [
 ]
 
 
-def main():
+def main(only=None):
+    """MERGES into RESULTS.json (a full overwrite would drop the curated
+    analysis entries — paged_step_owner*, engine notes — that the scripted
+    benches don't regenerate). `only`: optional iterable of bench names."""
     root = Path(__file__).resolve().parents[1]
-    results = {}
-    for i, (name, cmd) in enumerate(BENCHES):
-        if i:
+    out = root / "benchmarks" / "RESULTS.json"
+    results = json.loads(out.read_text()) if out.exists() else {}
+    first = True
+    for name, cmd in BENCHES:
+        if only and name not in only:
+            continue
+        if not first:
             time.sleep(GAP_S)
+        first = False
         print(f"== {name} ==", flush=True)
         proc = subprocess.run(cmd, cwd=root, capture_output=True, text=True,
                               timeout=3600)
         lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
-        results[name] = [json.loads(l) for l in lines]
+        entries = [json.loads(l) for l in lines]
         print(proc.stdout, flush=True)
         if proc.returncode != 0:
-            results[name].append({"error": proc.stderr[-500:]})
-    out = root / "benchmarks" / "RESULTS.json"
-    out.write_text(json.dumps(results, indent=2))
+            entries.append({"error": proc.stderr[-500:]})
+        results[name] = entries
+        out.write_text(json.dumps(results, indent=2))  # persist per bench
     print(f"wrote {out}")
 
 
 if __name__ == "__main__":
-    main()
+    main(only=set(sys.argv[1:]) or None)

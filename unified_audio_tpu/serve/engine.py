@@ -223,6 +223,7 @@ class ContinuousBatchingEngine:
         kv_quant: Optional[str] = None,
         link_adapt: bool = True,
         degraded_dispatch_ms: float = 25.0,
+        dispatch_overshoot: float = 0.05,
     ):
         """``feature_fn(feature_params, wav (B, N)) -> (B, F, D)`` enables
         waveform admission (Request.mix_wav): the SSL frontend runs batched
@@ -287,7 +288,17 @@ class ContinuousBatchingEngine:
         OTHER live slots — the only cost is admissions landing at the
         overshot boundary. Overshoot is gated to never exceed the longest
         live request, and the chunk sizes stay in the same pow2 program
-        set (no new compiles). Results are bit-identical either way."""
+        set (no new compiles). Results are bit-identical either way.
+
+        ``dispatch_overshoot`` (default 0.05) additionally lets EVERY
+        segment round a chunk up to the next pow2 while the cumulative
+        overshoot stays within that fraction of the segment — the relay's
+        delivery-serialization failure mode is invisible to dispatch
+        walls (enqueue stays ~1 ms while deliveries queue), so minimizing
+        dispatch count unconditionally is the robust mitigation; on a
+        healthy link the saved enqueues roughly pay for the ~2% of no-op
+        device steps (_segment_chunks). 0 restores the exact popcount
+        decomposition."""
         self.sft = sft
         self.cfg = cfg = sft.cfg
         if dtype is not None:
@@ -711,6 +722,7 @@ class ContinuousBatchingEngine:
         # threshold, run() coarsens its step decomposition
         self.link_adapt = link_adapt
         self.degraded_dispatch_ms = degraded_dispatch_ms
+        self.dispatch_overshoot = dispatch_overshoot
         self._dispatch_walls: deque = deque(maxlen=32)
 
     # --- host-side API ---
@@ -1333,6 +1345,37 @@ class ContinuousBatchingEngine:
             return False
         return float(np.median(w)) * 1e3 > self.degraded_dispatch_ms
 
+    def _segment_chunks(self, remaining: int, max_rem: int,
+                        poll_interval: int, coarse: bool) -> List[int]:
+        """Pow2 chunk decomposition of a decode segment, minimizing the
+        DISPATCH COUNT: every dispatch costs a host enqueue and — on a
+        relay that has stopped pipelining deliveries — a serialized
+        link latency that no amount of device speed can hide, while an
+        overshot device step is ~1 ms of in-graph no-ops (PHASE_DONE
+        rows attend/scatter into the reserved trash block; see step()).
+        A chunk may round UP to the next pow2 while the cumulative
+        overshoot stays within ``dispatch_overshoot`` of the segment
+        (283-token mixed-task waves then take 2 dispatches instead of
+        5-8). Coarse mode (detected degradation) additionally spends the
+        other slots' live work as budget — those steps are productive
+        for at least one slot — driving toward ONE dispatch/segment.
+        Chunk sizes stay inside the warmed pow2 program set."""
+        budget = int(remaining * self.dispatch_overshoot)
+        if coarse:
+            budget += max(0, max_rem - remaining)
+        chunks: List[int] = []
+        rem = remaining
+        while rem > 0:
+            up = 1 << max(rem - 1, 0).bit_length()  # next pow2 >= rem
+            if up <= poll_interval and up - rem <= budget:
+                budget -= up - rem
+                chunks.append(up)
+                break
+            c = min(poll_interval, 1 << (rem.bit_length() - 1))
+            chunks.append(c)
+            rem -= c
+        return chunks
+
     def _block_bound(self) -> int:
         """Static decode-read prefix bound (allocator-bucketed; see
         BlockAllocator.bounded_high_water). Owner-kernel mode attends each
@@ -1473,25 +1516,16 @@ class ContinuousBatchingEngine:
             remaining = min(active)
             max_rem = max(active)
             coarse = self._link_degraded()
+            chunks = self._segment_chunks(remaining, max_rem, poll_interval,
+                                          coarse)
+            if coarse:
+                t["coarse_chunks"] = t.get("coarse_chunks", 0) + len(chunks)
             staged = not pending
             first = True
-            while remaining > 0:
-                c = min(poll_interval, 1 << (remaining.bit_length() - 1))
-                if coarse:
-                    # degraded link: ONE dispatch per segment — round the
-                    # segment UP to the next pow2 (same compiled-program
-                    # set). Finished slots no-op in-graph, so overshoot
-                    # keeps decoding the other live slots; gate it so the
-                    # overshot steps stay productive for at least one slot.
-                    up = 1 << max(remaining - 1, 0).bit_length()
-                    if remaining > 1 and up <= min(poll_interval, max_rem):
-                        c = up
-                        t["coarse_chunks"] = t.get("coarse_chunks", 0) + 1
+            for c in chunks:
                 t0 = clock()
                 self.step(n=c)
                 t["t_step"] += clock() - t0
-                remaining = max(0, remaining - c)
-                max_rem -= c
                 if not staged:
                     # overlap: transfer the next wave's features while the
                     # first decode chunk executes on device
