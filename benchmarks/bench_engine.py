@@ -32,6 +32,20 @@ def main(num_slots: int = 8, num_requests: int = 24, dtype: str = "bfloat16",
     from unified_audio_tpu.serve.engine import ContinuousBatchingEngine, Request
     from unified_audio_tpu.utils.initialization import init_on_cpu
 
+    # device-touch watchdog (as in bench.py): a wedged relay hangs the first
+    # device touch forever at 0% CPU — fail loudly instead
+    import os
+    import threading
+    box = {}
+    th = threading.Thread(target=lambda: box.setdefault("d", jax.devices()),
+                          daemon=True)
+    th.start()
+    th.join(timeout=600)
+    if "d" not in box:
+        print(json.dumps({"error": "device touch hung (wedged relay?)"}),
+              flush=True)
+        os._exit(2)
+
     cfg = LlamaConfig()
     sft = LLMSFT(cfg, num_tasks=3, feats_dim=768)
     params = init_on_cpu(lambda: sft.init(
@@ -89,9 +103,12 @@ def main(num_slots: int = 8, num_requests: int = 24, dtype: str = "bfloat16",
         kv_quant=kv_quant or None,
         **extra,
     )
-    # warmup: fill the pool once end-to-end (compiles prefill waves + step)
+    # warmup: OVERSUBSCRIBE the pool (num_slots + a wave) so the displacing
+    #-insert and stash-drain programs compile here, not in the timed run —
+    # a 32-slot int8 config measured 6.2 s of its 8.2 s wall inside admit
+    # before this covered them (remote compiles are ~6-8 s each)
     print(json.dumps({"stage": "warmup"}), flush=True)
-    eng.run([make_request(10_000 + i) for i in range(num_slots)],
+    eng.run([make_request(10_000 + i) for i in range(num_slots + 4)],
             jax.random.PRNGKey(1), poll_interval=poll_interval)
 
     reqs = [make_request(i) for i in range(num_requests)]

@@ -18,7 +18,7 @@ import numpy as np
 
 
 def main(num_slots: int = 8, num_requests: int = 24, dtype: str = "bfloat16",
-         poll_interval: int = 256, kv_quant: str = ""):
+         poll_interval: int = 256, kv_quant: str = "", kernel: str = ""):
     import jax
     import jax.numpy as jnp
 
@@ -27,6 +27,20 @@ def main(num_slots: int = 8, num_requests: int = 24, dtype: str = "bfloat16",
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+
+    # device-touch watchdog (as in bench.py): a wedged relay hangs the first
+    # device touch forever at 0% CPU — fail loudly instead
+    import os
+    import threading
+    box = {}
+    th = threading.Thread(target=lambda: box.setdefault("d", jax.devices()),
+                          daemon=True)
+    th.start()
+    th.join(timeout=600)
+    if "d" not in box:
+        print(json.dumps({"error": "device touch hung (wedged relay?)"}),
+              flush=True)
+        os._exit(2)
 
     from unified_audio_tpu.models.unitok.model import UniTokConfig, UniTokLM
     from unified_audio_tpu.serve.unitok_engine import (UniTokEngine,
@@ -48,14 +62,16 @@ def main(num_slots: int = 8, num_requests: int = 24, dtype: str = "bfloat16",
     # the one-TPU-process-at-a-time relay spacing per config (CLAUDE.md)
     slot_list = (num_slots if isinstance(num_slots, (list, tuple))
                  else [num_slots])
-    for kv in (kv_quant.split(",") if kv_quant else [""]):
-        for slots in slot_list:
-            _run_config(jax, jnp, cfg, lm, params, int(slots),
-                        num_requests, dtype, poll_interval, kv.strip())
+    for kern in (kernel.split(",") if kernel else [""]):
+        for kv in (kv_quant.split(",") if kv_quant else [""]):
+            for slots in slot_list:
+                _run_config(jax, jnp, cfg, lm, params, int(slots),
+                            num_requests, dtype, poll_interval, kv.strip(),
+                            kern.strip())
 
 
 def _run_config(jax, jnp, cfg, lm, params, num_slots, num_requests, dtype,
-                poll_interval, kv_quant):
+                poll_interval, kv_quant, kernel=""):
     from unified_audio_tpu.serve.unitok_engine import (UniTokEngine,
                                                        UniTokRequest)
 
@@ -81,6 +97,7 @@ def _run_config(jax, jnp, cfg, lm, params, num_slots, num_requests, dtype,
         max_frames=frames, feat_buckets=(128,),
         dtype=jnp.bfloat16 if dtype == "bfloat16" else None,
         kv_quant=(kv_quant or None),
+        use_flash_kernel=(kernel or None),
     )
     print(json.dumps({"stage": "warmup"}), flush=True)
     eng.run([make_request(10_000 + i) for i in range(num_slots)],
@@ -101,6 +118,7 @@ def _run_config(jax, jnp, cfg, lm, params, num_slots, num_requests, dtype,
         "num_codebooks": cfg.num_codebooks,
         "dtype": dtype,
         "kv": ("paged int8" if kv_quant else "paged bf16"),
+        "kernel": eng.use_flash_kernel or "xla",
         "poll_interval": poll_interval,
         "codes_per_sec": round(codes / dt, 1),
         "steps_per_sec": round(steps / dt, 1),
@@ -122,6 +140,9 @@ if __name__ == "__main__":
         kw["dtype"] = sys.argv[3]
     if len(sys.argv) > 4:
         kw["poll_interval"] = int(sys.argv[4])
-    if len(sys.argv) > 5:
+    # "-" = empty placeholder (quoted "" does not survive nohup bash -c)
+    if len(sys.argv) > 5 and sys.argv[5] != "-":
         kw["kv_quant"] = sys.argv[5]
+    if len(sys.argv) > 6 and sys.argv[6] != "-":
+        kw["kernel"] = sys.argv[6]
     main(**kw)
