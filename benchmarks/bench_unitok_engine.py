@@ -99,8 +99,10 @@ def _run_config(jax, jnp, cfg, lm, params, num_slots, num_requests, dtype,
         kv_quant=(kv_quant or None),
         use_flash_kernel=(kernel or None),
     )
+    # warmup OVERSUBSCRIBES the pool (slots + a wave) so the displacing-
+    # insert + stash-drain programs compile here, not in the timed run
     print(json.dumps({"stage": "warmup"}), flush=True)
-    eng.run([make_request(10_000 + i) for i in range(num_slots)],
+    eng.run([make_request(10_000 + i) for i in range(num_slots + 4)],
             jax.random.PRNGKey(1), poll_interval=poll_interval)
 
     reqs = [make_request(i) for i in range(num_requests)]

@@ -571,14 +571,21 @@ class UniTokEngine:
                 if self._uids[s] is not None and self._remaining[s] == 0]
         if not done:
             return []
-        # fetch ONLY the finished rows, in one device_get (each fetch is a
-        # full tunnel round trip); delay undo is pure host-side numpy
-        rows = np.asarray(done)
-        outs, nf = jax.device_get((self.state["out"][rows],
-                                   self.state["num_frames"][rows]))
+        # ONE wholesale fetch of the fixed-shape state arrays, sliced on
+        # host. Fetching "only the finished rows" via state["out"][rows]
+        # was a shape-varying EAGER gather: one fresh compile per distinct
+        # done-count, too small for the persistent cache (<1 s), so every
+        # process re-paid it INSIDE the timed run at relay-dependent
+        # latency (measured 2.7 s of a 6.2 s 16-slot bench wall;
+        # JAX_LOG_COMPILES showed gather/broadcast_in_dim compiles up to
+        # process exit). The whole (slots, max_steps, K) int32 stash is
+        # ~67 KB at 16 slots — ~1 ms on the wire, zero compiles.
+        outs_all, nf_all = jax.device_get((self.state["out"],
+                                           self.state["num_frames"]))
         results = []
-        for j, s in enumerate(done):
-            results.append(self._undelay(self._uids[s], outs[j], int(nf[j])))
+        for s in done:
+            results.append(self._undelay(self._uids[s], outs_all[s],
+                                         int(nf_all[s])))
             if self._slot_blocks[s]:  # not already released by _reap_host
                 self.allocator.release(self._slot_blocks[s])
                 self._slot_blocks[s] = []
