@@ -201,11 +201,20 @@ def main():
 
     num_slots, num_requests = ENGINE_SLOTS, 128
     bench_kv = os.environ.get("BENCH_KV", "int8")  # "bf16" = A/B control
+    # int8 feature wire (fused dequant, ~41 dB feature SNR, pinned by
+    # tests/test_engine.py::TestInt8FeatsWire): halves the per-wave staging
+    # transfer (6.1 -> 3 MB at 16 slots) — the transfer the relay's
+    # delivery-serialization failure mode exposes when the first decode
+    # chunk can no longer hide it (measured 8.2k vs 15.6k tok/s same-day
+    # at identical dispatch RTT).
+    bench_wire = os.environ.get("BENCH_WIRE", "int8")  # "bf16" = control
     eng = ContinuousBatchingEngine(
         sft, sft_params, num_slots=num_slots, block_size=64,
         max_global=32, max_semantic=256, mix_buckets=(256,),
         kv_quant="int8" if (platform == "tpu" and bench_kv == "int8")
         else None,
+        feats_wire=("int8" if (platform == "tpu" and bench_wire == "int8")
+                    else "bf16"),
     )
     erng = np.random.default_rng(0)
 
@@ -316,6 +325,7 @@ def main():
             "engine_slots": num_slots,
             "engine_requests": num_requests,
             "engine_kv": eng.kv_quant or "bf16",
+            "engine_feats_wire": eng.feats_wire,
         },
     }))
 
