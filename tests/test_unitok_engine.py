@@ -321,3 +321,40 @@ class TestUniTokOwnerKernel:
         assert set(a) == set(b)
         for u in a:
             np.testing.assert_array_equal(a[u].codes, b[u].codes)
+
+
+class TestUniTokOvershoot:
+    def test_overshoot_token_exact_with_fewer_dispatches(self, lm_setup):
+        """run() with the default dispatch overshoot == the exact popcount
+        decomposition, code for code, across displacing waves of
+        popcount-heavy lengths — while dispatching strictly fewer step
+        programs. Sampled decode included: rng chains split once per
+        device step for every occupied row regardless of activity, so a
+        slot's sampling chain position stays equal to its token index
+        through overshot (fully masked) steps."""
+        cfg, lm, params = lm_setup
+        rng = np.random.default_rng(5)
+        # nf + K - 1 = 13-step segments: exact [8,4,1] vs rounded [8,8]
+        lengths = [10, 14, 10, 12, 10, 14]
+        feats = [rng.standard_normal((5, cfg.audio_dim)).astype(np.float32)
+                 for _ in lengths]
+
+        def reqs():
+            return [UniTokRequest(task_id=i % 7, num_frames=nf,
+                                  input_feats=feats[i],
+                                  do_sample=bool(i % 2), uid=900 + i)
+                    for i, nf in enumerate(lengths)]
+
+        exact = _engine(cfg, lm, params, num_slots=2, dispatch_overshoot=0.0)
+        a = exact.run(reqs(), jax.random.PRNGKey(4), poll_interval=8)
+        # 0.3 (not the 0.05 default) so the tiny test segments (8-14
+        # steps) get a non-zero round-up budget; at production sizes
+        # (133-step segments) the default 5% already buys the round-up
+        over = _engine(cfg, lm, params, num_slots=2, dispatch_overshoot=0.3)
+        b = over.run(reqs(), jax.random.PRNGKey(4), poll_interval=8)
+
+        assert set(a) == set(b)
+        for u in a:
+            np.testing.assert_array_equal(a[u].codes, b[u].codes)
+        assert (over.stats()["step_dispatches"]
+                < exact.stats()["step_dispatches"])

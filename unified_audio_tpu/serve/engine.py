@@ -183,6 +183,38 @@ def _pick_bucket(n: int, buckets: Sequence[int], what: str) -> int:
     raise ValueError(f"{what} length {n} exceeds largest bucket {buckets[-1]}")
 
 
+def segment_chunks(remaining: int, max_rem: int, poll_interval: int,
+                   overshoot: float, coarse: bool = False) -> List[int]:
+    """Pow2 chunk decomposition of a decode segment, minimizing the
+    DISPATCH COUNT: every dispatch costs a host enqueue and — on a relay
+    that has stopped pipelining deliveries — a serialized link latency
+    that no amount of device speed can hide, while an overshot device
+    step is in-graph no-ops (finished rows are fully masked in both
+    engines' step programs). A chunk may round UP to the next pow2 while
+    the cumulative overshoot stays within ``overshoot`` of the segment
+    (283-token mixed-task waves then take 2 dispatches instead of 5-8).
+    ``coarse`` additionally spends the other slots' live work
+    (``max_rem - remaining``) as budget — those steps are productive for
+    at least one slot. Chunk sizes stay inside the warmed pow2 program
+    set (all <= poll_interval). Shared by ContinuousBatchingEngine and
+    UniTokEngine."""
+    budget = int(remaining * overshoot)
+    if coarse:
+        budget += max(0, max_rem - remaining)
+    chunks: List[int] = []
+    rem = remaining
+    while rem > 0:
+        up = 1 << max(rem - 1, 0).bit_length()  # next pow2 >= rem
+        if up <= poll_interval and up - rem <= budget:
+            budget -= up - rem
+            chunks.append(up)
+            break
+        c = min(poll_interval, 1 << (rem.bit_length() - 1))
+        chunks.append(c)
+        rem -= c
+    return chunks
+
+
 class ContinuousBatchingEngine:
     """Slot-pool continuous batching over a paged KV block pool."""
 
@@ -1347,34 +1379,11 @@ class ContinuousBatchingEngine:
 
     def _segment_chunks(self, remaining: int, max_rem: int,
                         poll_interval: int, coarse: bool) -> List[int]:
-        """Pow2 chunk decomposition of a decode segment, minimizing the
-        DISPATCH COUNT: every dispatch costs a host enqueue and — on a
-        relay that has stopped pipelining deliveries — a serialized
-        link latency that no amount of device speed can hide, while an
-        overshot device step is ~1 ms of in-graph no-ops (PHASE_DONE
-        rows attend/scatter into the reserved trash block; see step()).
-        A chunk may round UP to the next pow2 while the cumulative
-        overshoot stays within ``dispatch_overshoot`` of the segment
-        (283-token mixed-task waves then take 2 dispatches instead of
-        5-8). Coarse mode (detected degradation) additionally spends the
-        other slots' live work as budget — those steps are productive
-        for at least one slot — driving toward ONE dispatch/segment.
-        Chunk sizes stay inside the warmed pow2 program set."""
-        budget = int(remaining * self.dispatch_overshoot)
-        if coarse:
-            budget += max(0, max_rem - remaining)
-        chunks: List[int] = []
-        rem = remaining
-        while rem > 0:
-            up = 1 << max(rem - 1, 0).bit_length()  # next pow2 >= rem
-            if up <= poll_interval and up - rem <= budget:
-                budget -= up - rem
-                chunks.append(up)
-                break
-            c = min(poll_interval, 1 << (rem.bit_length() - 1))
-            chunks.append(c)
-            rem -= c
-        return chunks
+        """See :func:`segment_chunks` — coarse mode (detected link
+        degradation) additionally spends the other slots' live work as
+        budget, driving toward ONE dispatch per segment."""
+        return segment_chunks(remaining, max_rem, poll_interval,
+                              self.dispatch_overshoot, coarse)
 
     def _block_bound(self) -> int:
         """Static decode-read prefix bound (allocator-bucketed; see

@@ -39,7 +39,7 @@ import jax.numpy as jnp
 
 from ..models.lm.llama import init_cache, sample_logits_vec
 from ..models.unitok.model import UniTokLM
-from .engine import _pick_bucket
+from .engine import _pick_bucket, segment_chunks
 from .paged import (TRASH_BLOCK, BlockAllocator, RegionAllocator,
                     init_pool,
                     paged_decode_embeds, scatter_prefill)
@@ -96,6 +96,7 @@ class UniTokEngine:
         owner_chunk_blocks: int = 14,
         eager_drain: bool = False,
         kv_quant: Optional[str] = None,
+        dispatch_overshoot: float = 0.05,
     ):
         self.lm = lm
         cfg = lm.cfg
@@ -207,10 +208,12 @@ class UniTokEngine:
         self._remaining: List[int] = [0] * s
         self._results: Dict[int, UniTokResult] = {}
         self.eager_drain = eager_drain
+        self.dispatch_overshoot = dispatch_overshoot
         self._done_slots: set = set()
         self._pending_stashes: List[tuple] = []
         self._stats: Dict[str, float] = {"stash_fetches": 0,
-                                         "prefill_waves": 0}
+                                         "prefill_waves": 0,
+                                         "step_dispatches": 0}
 
         vocab_ids = jnp.arange(cfg.layer_vocab)
         code_mask = jnp.where(vocab_ids < cfg.codebook_size, 0.0, NEG)
@@ -530,6 +533,7 @@ class UniTokEngine:
         return self.allocator.bounded_high_water()
 
     def step(self, n: int = 1) -> None:
+        self._stats["step_dispatches"] += 1
         self.pool, self.state = self._step_n(
             self.params["params"]["backbone"], self._emb, self._heads,
             self.pool, self.state, n=n, nb=self._block_bound())
@@ -622,10 +626,16 @@ class UniTokEngine:
                 break
             remaining = min(active)
             first = True
-            while remaining:
-                c = min(poll_interval, 1 << (remaining.bit_length() - 1))
+            # dispatch-minimizing pow2 decomposition (shared with the
+            # UniSE engine, serve/engine.py segment_chunks): overshot
+            # steps are exact in-graph no-ops here — inactive rows are
+            # masked out of every state write, `index` never advances,
+            # and rng chains split once per device step for every
+            # occupied row regardless of activity, so a slot's sampling
+            # chain position stays equal to its token index
+            for c in segment_chunks(remaining, max(active), poll_interval,
+                                    self.dispatch_overshoot):
                 self.step(n=c)
-                remaining -= c
                 if first and self.eager_drain:
                     # overlap: fetch previous waves' stashes while these
                     # decode chunks execute on device
