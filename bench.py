@@ -9,13 +9,17 @@ per wall-second. North-star target is >=50x real time per chip
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import json
+import os
 import time
 
 import numpy as np
 
-# serving sweet spot, measured (benchmarks/RESULTS.json paged_step_device):
-# with the Pallas stream kernel 16 slots beats 8 end-to-end
-ENGINE_SLOTS = 16
+# serving sweet spot, measured (benchmarks/RESULTS.json engine_mixed_task):
+# with the owner c14 kernel + int8 KV + int8 feature wire, 32 slots beats 16
+# end-to-end on a healthy link (17,519 vs 15,636 median tok/s, round-5
+# session-2 same-box captures) and ties it on a degraded one (8.6k vs 8.8k).
+# Env-overridable for slot-sweep experiments.
+ENGINE_SLOTS = int(os.environ.get("ENGINE_SLOTS", "32"))
 
 
 def main():
@@ -34,7 +38,6 @@ def main():
     # bench run must FAIL, not stall the round). The touch runs in a
     # daemon thread; on timeout we report and hard-exit (the wedged
     # runtime cannot be interrupted from Python).
-    import os
     import threading
 
     box: dict = {}
