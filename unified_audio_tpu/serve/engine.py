@@ -519,6 +519,10 @@ class ContinuousBatchingEngine:
         # scheduler knows exactly when the next slot completes and only
         # pays a device->host sync at those points
         self._remaining: List[int] = [0] * num_slots
+        # host-side mirror of each slot's do_sample: when NO live slot
+        # samples, step() dispatches the sampler-free greedy step variant
+        # (static flag — a separate compiled program family)
+        self._slot_sampled: List[bool] = [False] * num_slots
 
         s = num_slots
         self.state = {
@@ -641,7 +645,7 @@ class ContinuousBatchingEngine:
             upd("out_semantic", jnp.zeros((b_wave, max_semantic), jnp.int32))
             return pool, st, stash
 
-        def _step_body(lm_params, pool, state, nb):
+        def _step_body(lm_params, pool, state, nb, greedy=False):
             phase = state["phase"]
             active = phase != PHASE_DONE
 
@@ -655,15 +659,28 @@ class ContinuousBatchingEngine:
             mask = jnp.where(
                 (phase == PHASE_GLOBAL)[:, None], gmask[None], smask[None]
             )
-            rngs = jax.vmap(jax.random.split, in_axes=(0, None))(
-                state["rng"], 2
-            )  # (S, 2, 2)
-            step_keys, next_rngs = rngs[:, 0], rngs[:, 1]
-            tokens = sample_logits_vec(
-                step_keys, logits + mask,
-                state["temperature"], state["top_k"], state["top_p"],
-                state["do_sample"], max_top_k=self.max_top_k,
-            )
+            if greedy:
+                # host-selected fast path: no active slot samples, so the
+                # per-step sampler VPU work (Gumbel draws over the FULL
+                # vocab per row inside jax.random.categorical, the
+                # max_top_k lax.top_k, softmax/cumsum) is dead weight —
+                # measured ~0.45 ms of the 1.37 ms full step at 32 slots.
+                # rng streams stay untouched: greedy rows never consume
+                # theirs, and a sampled request admitted later gets a
+                # fresh key at admission (run() flips the variant at the
+                # next wave), so its token stream is unchanged.
+                tokens = jnp.argmax(logits + mask, axis=-1).astype(jnp.int32)
+                next_rngs = state["rng"]
+            else:
+                rngs = jax.vmap(jax.random.split, in_axes=(0, None))(
+                    state["rng"], 2
+                )  # (S, 2, 2)
+                step_keys, next_rngs = rngs[:, 0], rngs[:, 1]
+                tokens = sample_logits_vec(
+                    step_keys, logits + mask,
+                    state["temperature"], state["top_k"], state["top_p"],
+                    state["do_sample"], max_top_k=self.max_top_k,
+                )
 
             steps = state["steps_in_phase"]
             in_global = phase == PHASE_GLOBAL
@@ -710,16 +727,18 @@ class ContinuousBatchingEngine:
             # into the reserved trash block (paged.py), never into live data
             return pool, new_state
 
-        @partial(jax.jit, static_argnames=("n", "nb"),
+        @partial(jax.jit, static_argnames=("n", "nb", "greedy"),
                  donate_argnums=(1, 2))
-        def _step_n(lm_params, pool, state, n=1, nb=None):
+        def _step_n(lm_params, pool, state, n=1, nb=None, greedy=False):
             """n decode steps for the whole pool as ONE dispatched lax.scan —
             per-step host round trips dominate on remote-attached chips.
             ``nb`` (static) bounds the attended pool prefix to the bucketed
-            allocation high-water mark (paged.py paged_decode_embeds)."""
+            allocation high-water mark (paged.py paged_decode_embeds).
+            ``greedy`` (static) compiles the sampler-free variant; the
+            caller asserts no active slot has do_sample."""
             def body(carry, _):
                 pool, state = carry
-                return _step_body(lm_params, pool, state, nb), None
+                return _step_body(lm_params, pool, state, nb, greedy), None
 
             (pool, state), _ = jax.lax.scan(body, (pool, state), None,
                                             length=n)
@@ -1217,6 +1236,7 @@ class ContinuousBatchingEngine:
                 self._slot_blocks[slot] = blocks
                 self._uids[slot] = r.uid
                 self._remaining[slot] = r.global_length + 1 + r.semantic_length
+                self._slot_sampled[slot] = bool(r.do_sample)
                 tables[i, : n_blk] = blocks
                 staged = self._staged.pop(r.uid, None)
                 mix_ref, enr_ref = staged if staged else self._stage_one(r)
@@ -1405,9 +1425,19 @@ class ContinuousBatchingEngine:
         lm_params = self.params["params"]["lm"]
         nb = self._block_bound() if nb is None else nb
         self._stats["last_nb"] = nb
+        # sampler-free fast path when no LIVE slot samples (host-known):
+        # drops the per-step lax.top_k over the vocab + full-V Gumbel draw
+        # + rng splits. Greedy rows never consume their rng stream and a
+        # sampled request admitted later gets a fresh key at admission, so
+        # token streams are identical either way (tests pin this).
+        greedy = not any(
+            self._slot_sampled[i] for i in range(self.num_slots)
+            if self._uids[i] is not None and self._remaining[i] > 0)
+        self._stats["last_greedy_variant"] = greedy
         t0 = time.perf_counter()
         self.pool, self.state = self._step_n(lm_params, self.pool,
-                                             self.state, n=n, nb=nb)
+                                             self.state, n=n, nb=nb,
+                                             greedy=greedy)
         wall = time.perf_counter() - t0
         # dispatch-health window: a healthy link enqueues asynchronously
         # (~1 ms); a degraded relay blocks ~RTT per dispatch. Walls > 2 s
